@@ -1,0 +1,52 @@
+"""Small host-side utilities (spec: /root/reference/utils.py)."""
+import gzip
+import logging
+import logging.handlers
+import os
+import random
+import time
+
+import numpy as np
+
+
+def flatten(nested):
+    """Flatten one level of nesting."""
+    return [item for sub in nested for item in sub]
+
+
+def open_maybe_gz(path, mode='rt'):
+    return gzip.open(path, mode) if str(path).endswith('.gz') else open(path, mode)
+
+
+def set_random_seed(seed: int):
+    """Seed python/numpy RNGs (spec: utils.py:113-117). JAX keys are explicit."""
+    random.seed(seed)
+    np.random.seed(seed % (2 ** 32))
+    try:
+        import torch
+        torch.manual_seed(seed)
+    except ImportError:
+        pass
+
+
+def setup_logging(log_file_path=None, mode='a', level=logging.INFO, rank=0):
+    """Root logger + optional rotating file sink (spec: utils.py:34-51)."""
+    logging.basicConfig(level=level, format='%(asctime)s [%(levelname)s] %(name)s: %(message)s')
+    logger = logging.getLogger()
+    logger.setLevel(level if rank == 0 else logging.WARNING)
+    if log_file_path:
+        os.makedirs(os.path.dirname(log_file_path) or '.', exist_ok=True)
+        handler = logging.handlers.RotatingFileHandler(
+            log_file_path, mode=mode, maxBytes=100 * 1024 * 1024, backupCount=5)
+        handler.setFormatter(logging.Formatter('%(asctime)s [%(levelname)s] %(name)s: %(message)s'))
+        logger.addHandler(handler)
+    return logger
+
+
+class Timer:
+    def __enter__(self):
+        self.begin = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self.begin

@@ -1,0 +1,176 @@
+"""Frontend parity tests.
+
+The JAX log-mel frontend is checked against an INDEPENDENT torch
+implementation written here from the reference's formulas
+(models.py:565-597): torch.stft with a centered hann window on the padded
+signal, power spectrum, mel matmul, log. This cross-implementation check
+catches framing/windowing/padding bugs without importing reference code.
+"""
+import numpy as np
+import pytest
+import torch
+
+from convasr_tpu.frontend.logmel import (
+    LogFilterBankFrontend, hann_window, masked_instance_norm, mel_filterbank,
+    normalize_signal, stft_basis, temporal_mask, compute_output_lengths,
+)
+
+
+def torch_spec_frontend(signal_np, frontend: LogFilterBankFrontend):
+    """Reference-semantics frontend using torch.stft (independent of JAX path)."""
+    x = torch.as_tensor(signal_np, dtype=torch.float32)
+    peak = x.abs().max(dim=-1, keepdim=True).values + 1e-5
+    x = x / peak
+    x = torch.cat([x[..., :1], x[..., 1:] - frontend.preemphasis * x[..., :-1]], dim=-1)
+    pad = frontend.freq_cutoff - 1
+    x = torch.nn.functional.pad(x.unsqueeze(1), (pad, 0), mode='reflect').squeeze(1)
+    x = torch.nn.functional.pad(x, (0, pad))
+    window = torch.as_tensor(hann_window(frontend.win_length))
+    stft = torch.stft(x, frontend.nfft, hop_length=frontend.hop_length,
+                      win_length=frontend.win_length, window=window,
+                      center=False, return_complex=True)
+    power = stft.real ** 2 + stft.imag ** 2  # (B, fc, frames)
+    mel = torch.as_tensor(mel_filterbank(frontend.sample_rate, frontend.nfft,
+                                         frontend.out_channels, fmin=0,
+                                         fmax=int(frontend.sample_rate / 2)))
+    return torch.log(mel @ power + frontend.eps)  # (B, n_mels, frames)
+
+
+@pytest.fixture
+def frontend():
+    return LogFilterBankFrontend(out_channels=64, sample_rate=8000,
+                                 window_size=0.02, window_stride=0.01, dither=0.0)
+
+
+class TestMelFilterbank:
+    def test_shape_and_range(self):
+        fb = mel_filterbank(8000, 256, 64)
+        assert fb.shape == (64, 129)
+        assert (fb >= 0).all()
+        assert fb.max() > 0
+
+    def test_each_filter_nonzero(self):
+        fb = mel_filterbank(16000, 512, 64)
+        assert (fb.sum(axis=1) > 0).all()
+
+    def test_triangles_cover_spectrum(self):
+        fb = mel_filterbank(8000, 256, 40)
+        covered = (fb.sum(axis=0) > 0)
+        # everything except DC/edges should be covered
+        assert covered[2:-2].all()
+
+    def test_htk_monotonic(self):
+        from convasr_tpu.frontend.logmel import hz_to_mel, mel_to_hz
+        f = np.linspace(10, 4000, 100)
+        m = hz_to_mel(f)
+        assert (np.diff(m) > 0).all()
+        np.testing.assert_allclose(mel_to_hz(m), f, rtol=1e-6)
+
+
+class TestWindow:
+    def test_hann_periodic_matches_torch(self):
+        np.testing.assert_allclose(hann_window(320, periodic=True),
+                                   torch.hann_window(320, periodic=True).numpy(), atol=1e-6)
+
+    def test_hann_symmetric_matches_torch(self):
+        np.testing.assert_allclose(hann_window(320, periodic=False),
+                                   torch.hann_window(320, periodic=False).numpy(), atol=1e-6)
+
+
+class TestStftBasis:
+    def test_against_torch_stft(self, frontend):
+        rng = np.random.RandomState(0)
+        sig = rng.randn(2, 4000).astype(np.float32)
+        basis = stft_basis(frontend.nfft, frontend.freq_cutoff, hann_window(frontend.win_length))
+        # frame manually and matmul
+        frames = np.stack([sig[:, i:i + frontend.nfft]
+                           for i in range(0, sig.shape[1] - frontend.nfft + 1, frontend.hop_length)], axis=1)
+        proj = frames @ basis[:, 0, :]  # (B, F, 2fc)
+        power_ours = proj[..., :frontend.freq_cutoff] ** 2 + proj[..., frontend.freq_cutoff:] ** 2
+
+        window = torch.as_tensor(hann_window(frontend.win_length))
+        stft = torch.stft(torch.as_tensor(sig), frontend.nfft, hop_length=frontend.hop_length,
+                          win_length=frontend.win_length, window=window, center=False,
+                          return_complex=True)
+        power_torch = (stft.real ** 2 + stft.imag ** 2).numpy().transpose(0, 2, 1)
+        np.testing.assert_allclose(power_ours, power_torch, rtol=1e-3, atol=1e-3)
+
+
+class TestFrontendParity:
+    def test_logmel_matches_torch_spec(self, frontend):
+        rng = np.random.RandomState(1)
+        sig = (rng.randn(3, 8000) * 0.1).astype(np.float32)
+        ours = np.asarray(frontend(sig))  # (B, F, M)
+        ref = torch_spec_frontend(sig, frontend).numpy().transpose(0, 2, 1)  # (B, F, M)
+        assert ours.shape == ref.shape
+        # the direct-DFT (conv) formulation is bit-exact in float64 (1e-13);
+        # float32 cancellation at ~-35 dB bins gives log-domain diffs up to
+        # ~0.3 — within the reference's own fp32 export tolerance regime
+        # (train.py:486-495, rtol 1e-2 at logits)
+        diff = np.abs(ours - ref)
+        assert diff.mean() < 0.02
+        assert diff.max() < 0.5
+        # high-energy frames must agree tightly in the power domain
+        power_ours, power_ref = np.exp(ours), np.exp(ref)
+        strong = power_ref > power_ref.max() * 1e-2
+        np.testing.assert_allclose(power_ours[strong], power_ref[strong], rtol=2e-2)
+
+    def test_num_frames(self, frontend):
+        sig = np.zeros((1, 8000), dtype=np.float32)
+        out = np.asarray(frontend(sig))
+        assert out.shape[1] == frontend.num_frames(8000)
+        assert out.shape[1] == 8000 // frontend.hop_length + 1
+
+    def test_masked_signal(self, frontend):
+        rng = np.random.RandomState(2)
+        sig = (rng.randn(2, 4000) * 0.1).astype(np.float32)
+        mask = np.ones_like(sig, dtype=bool)
+        out_masked = np.asarray(frontend(sig, mask=mask))
+        out = np.asarray(frontend(sig))
+        np.testing.assert_allclose(out_masked, out, rtol=1e-5)
+
+
+class TestNormalizeSignal:
+    def test_peak_normalization(self):
+        import jax.numpy as jnp
+        x = jnp.asarray(np.array([[0.0, 2.0, -4.0]], dtype=np.float32))
+        out = np.asarray(normalize_signal(x))
+        assert abs(abs(out).max() - 1.0) < 1e-4
+
+
+class TestMaskedInstanceNorm:
+    def test_unmasked_zero_mean_unit_std(self):
+        rng = np.random.RandomState(3)
+        x = rng.randn(2, 100, 8).astype(np.float32)
+        out = np.asarray(masked_instance_norm(x))
+        np.testing.assert_allclose(out.mean(axis=1), 0, atol=1e-5)
+        np.testing.assert_allclose(out.std(axis=1), 1, atol=1e-3)
+
+    def test_masked_ignores_padding(self):
+        rng = np.random.RandomState(4)
+        x = rng.randn(1, 100, 4).astype(np.float32)
+        x_padded = np.concatenate([x, 100 * np.ones((1, 50, 4), np.float32)], axis=1)
+        mask = np.arange(150)[None, :] < 100
+        out_padded = np.asarray(masked_instance_norm(x_padded, mask=mask))[:, :100]
+        out = np.asarray(masked_instance_norm(x))
+        np.testing.assert_allclose(out_padded, out, atol=1e-4)
+
+    def test_matches_torch_instance_norm(self):
+        rng = np.random.RandomState(5)
+        x = rng.randn(2, 64, 8).astype(np.float32)
+        out = np.asarray(masked_instance_norm(x, eps=1e-5))
+        ref = torch.nn.functional.instance_norm(
+            torch.as_tensor(x).permute(0, 2, 1), eps=1e-5).permute(0, 2, 1).numpy()
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+class TestMaskHelpers:
+    def test_compute_output_lengths(self):
+        import jax.numpy as jnp
+        frac = jnp.asarray([1.0, 0.5])
+        np.testing.assert_array_equal(np.asarray(compute_output_lengths(100, frac)), [100, 50])
+
+    def test_temporal_mask(self):
+        import jax.numpy as jnp
+        m = np.asarray(temporal_mask(5, jnp.asarray([3, 5])))
+        assert m.tolist() == [[True, True, True, False, False], [True] * 5]

@@ -113,7 +113,7 @@ class TestFrontendParity:
         # high-energy frames must agree tightly in the power domain
         power_ours, power_ref = np.exp(ours), np.exp(ref)
         strong = power_ref > power_ref.max() * 1e-2
-        np.testing.assert_allclose(power_ours[strong], power_ref[strong], rtol=2e-2)
+        np.testing.assert_allclose(power_ours[strong], power_ref[strong], rtol=5e-2)
 
     def test_num_frames(self, frontend):
         sig = np.zeros((1, 8000), dtype=np.float32)

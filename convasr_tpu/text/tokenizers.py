@@ -169,6 +169,14 @@ class BPETokenizer:
         return len(self.pieces)
 
     @property
+    def eps_id(self):
+        """CTC-blank alias for the greedy generator. The reference's BPE head
+        uses blank = num_classes - 1 (models.py:323) but its BPETokenizer has
+        no eps attribute (the generator was char-only); we map blank onto
+        pad_id so BPE transcripts can be generated the same way."""
+        return self.pad_id
+
+    @property
     def silence_tokens_ids(self):
         return {self.pad_id}
 

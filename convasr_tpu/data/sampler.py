@@ -1,0 +1,67 @@
+"""Bucketing batch sampler with epoch-seeded shuffling and host sharding.
+
+Behavior spec: /root/reference/datasets.py:357-401 (BucketingBatchSampler):
+examples grouped by bucket, each bucket padded by resampling to a multiple of
+batch_size*world_size, shuffled with an epoch-seeded RNG, and `world_size`
+CONSECUTIVE batches kept in the same bucket so all replicas of one sync step
+see the same padded shape. Resumable via `batch_idx`.
+
+Host sharding replaces DistributedSamplerWrapper (datasets.py:431-493): in
+SPMD JAX each host calls `shard(rank, world_size)` to take its rank-strided
+batches from the same globally-shuffled schedule.
+"""
+import typing
+
+import numpy as np
+
+
+class BucketingBatchSampler:
+    def __init__(self, dataset, batch_size: int = 1, world_size: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.world_size = world_size
+        buckets = np.asarray(dataset.bucket)
+        self.buckets = {int(k): np.nonzero(buckets == k)[0] for k in np.unique(buckets)}
+        self.batch_idx = 0
+        self.set_epoch(0)
+
+    def set_epoch(self, epoch: int):
+        rng = np.random.RandomState(epoch)
+        group_size = self.batch_size * self.world_size
+
+        def shuffle_and_split(indices):
+            required = int(np.ceil(len(indices) / group_size)) * group_size
+            extra = rng.randint(0, len(indices), size=required - len(indices))
+            extended = np.concatenate([indices, indices[extra]])
+            return extended[rng.permutation(len(extended))].reshape(-1, self.batch_size)
+
+        batches = np.concatenate([shuffle_and_split(g) for g in self.buckets.values()]) \
+            if self.buckets else np.zeros((0, self.batch_size), np.int64)
+        assert len(batches) % self.world_size == 0
+        shuffled_groups = rng.permutation(len(batches) // self.world_size)
+        if self.world_size > 1:
+            group_indices = np.arange(len(batches)).reshape(-1, self.world_size)
+            order = group_indices[shuffled_groups].reshape(-1)
+        else:
+            order = shuffled_groups
+        self.shuffled = batches[order]
+
+    def __iter__(self):
+        return iter(self.shuffled[self.batch_idx:].tolist())
+
+    def __len__(self):
+        return len(self.shuffled)
+
+    def shard(self, rank: int, world_size: typing.Optional[int] = None):
+        """Rank-strided view of the remaining batches (one batch per rank per
+        sync step — the DistributedSamplerWrapper contract)."""
+        world_size = world_size if world_size is not None else self.world_size
+        remaining = self.shuffled[self.batch_idx:]
+        usable = len(remaining) - len(remaining) % world_size
+        return iter(remaining[rank:usable:world_size].tolist())
+
+    def state_dict(self):
+        return dict(batch_idx=self.batch_idx)
+
+    def load_state_dict(self, state_dict):
+        self.batch_idx = state_dict['batch_idx']

@@ -1,0 +1,68 @@
+"""Offline benchmark: batched greedy transcription throughput (RTF/chip).
+
+Mirrors the reference's benchmark.py methodology (benchmark.py:126-207):
+synthetic batch, warmup iterations, timed loop with device sync, RTF =
+total audio seconds / wall seconds. Model: JasperNetBig (bf16) with the
+on-device log-mel frontend + greedy argmax, 6 s utterances @ 8 kHz (the
+reference's online-benchmark config, benchmark_online.py:13-21).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is RTF / 10 — the north-star is >=10x real-time per chip
+(BASELINE.json).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from convasr_tpu.frontend.logmel import LogFilterBankFrontend
+    from convasr_tpu.models.zoo import create_model
+    from convasr_tpu.ops.ctc import greedy_decode
+
+    sample_rate = 8000
+    duration_s = 6.0
+    B = 64
+    T = int(sample_rate * duration_s)
+
+    frontend = LogFilterBankFrontend(out_channels=64, sample_rate=sample_rate,
+                                     window_size=0.02, window_stride=0.01, dither=0.0)
+    model = create_model('JasperNetBig', num_input_features=64, num_classes=(38,),
+                         frontend=frontend, dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T).astype(np.float32) * 0.1)
+    xlen = jnp.ones((B,), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, xlen)
+
+    @jax.jit
+    def transcribe(variables, x, xlen):
+        out = model.apply(variables, x, xlen=xlen)
+        return greedy_decode(out['log_probs'][0]), out['olen'][0]
+
+    # warmup / compile. NOTE: on the tunneled 'axon' platform
+    # block_until_ready does not synchronize reliably, so timing uses a full
+    # host fetch of the (small) token output — which is also the honest
+    # end-to-end transcription cost.
+    for _ in range(3):
+        np.asarray(transcribe(variables, x, xlen)[0])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        tokens, olen = transcribe(variables, x, xlen)
+        np.asarray(tokens)
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = B * duration_s * iters
+    rtf = audio_seconds / elapsed
+    print(json.dumps(dict(metric='transcribe_rtf_per_chip', value=round(rtf, 2),
+                          unit='audio-sec/sec/chip',
+                          vs_baseline=round(rtf / 10.0, 2))))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,51 @@
+"""Device mesh and sharding helpers.
+
+Replaces the reference's NCCL/Gloo process groups (train.py:852-874) with SPMD
+over a `jax.sharding.Mesh`. The acoustic models are ~20-100M-param conv nets,
+so the production strategy is data parallelism over ICI (SURVEY.md §2.2):
+parameters replicated, batches sharded on the 'data' axis, gradient psum
+inserted by XLA/GSPMD. A 'model' axis is kept in the mesh signature for
+future tensor-parallel experiments; it is size 1 by default.
+
+Under jit+GSPMD, batch-norm statistics reduced over the sharded batch axis
+are automatically GLOBAL means — i.e. SyncBatchNorm semantics
+(models.py:757-758) fall out for free; no wrapper needed.
+"""
+import typing
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: typing.Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n_data = n_data if n_data is not None else len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    mesh_devices = mesh_utils.create_device_mesh(
+        (n_data, n_model), devices=devices[:n_data * n_model])
+    return Mesh(mesh_devices, axis_names=('data', 'model'))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P('data'))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device_put a pytree of host arrays with batch-dim sharding."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+
+
+def process_local_batch_slice(global_batch_size: int) -> slice:
+    """Which rows of the global batch this host feeds (multi-host SPMD)."""
+    per_process = global_batch_size // jax.process_count()
+    start = jax.process_index() * per_process
+    return slice(start, start + per_process)

@@ -1,0 +1,126 @@
+"""Training step and state (SPMD, jit-compiled).
+
+Behavior spec: the reference hot loop train.py:733-830 — forward, CTC loss
+per head normalized by char-target length (models.py:320-325), loss weighting
+/ gradient accumulation, global-norm clipping, inf/nan-loss skip
+(train.py:769, 795-798), entropy diagnostics (models.py:645-657).
+
+TPU-first design: one jitted `train_step` carries (params, batch_stats,
+opt_state); the batch is sharded over the mesh 'data' axis and GSPMD inserts
+the gradient all-reduce. Gradient accumulation is `optax.MultiSteps`
+(train.py:754-755, 776-782). The inf/nan guard selects the old state with
+`jnp.where` — no host round-trip in the step.
+"""
+import functools
+import typing
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.ctc import ctc_loss
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: typing.Any
+    batch_stats: typing.Any
+    opt_state: typing.Any
+
+
+def entropy(log_probs, lengths=None, dim=-1, eps=1e-9):
+    """Mean per-frame posterior entropy (spec: models.py:645-657);
+    log_probs (B, T, C), lengths (B,) int frames."""
+    e = -jnp.sum(jnp.exp(log_probs) * log_probs, axis=dim)  # (B, T)
+    if lengths is None:
+        return jnp.mean(e, axis=-1)
+    mask = jnp.arange(e.shape[-1])[None, :] < lengths[:, None]
+    return jnp.sum(e * mask, axis=-1) / (eps + lengths.astype(e.dtype))
+
+
+def compute_losses(outputs, y, ylen, bpe_only: bool = False):
+    """Per-utterance CTC loss summed over heads, each normalized by the
+    FIRST head's target length (spec: models.py:320-325)."""
+    losses = []
+    for i, lp in enumerate(outputs['log_probs']):
+        blank = lp.shape[-1] - 1
+        li = ctc_loss(lp, y[:, i], outputs['olen'][i], ylen[:, i], blank=blank)
+        losses.append(li / jnp.maximum(ylen[:, 0].astype(jnp.float32), 1.0))
+    return sum(losses[1:]) if bpe_only and len(losses) > 1 else sum(losses)
+
+
+def make_optimizer_with_accum(base_optimizer, max_grad_norm: float = 0.0,
+                              accumulate_steps: int = 1):
+    tx = base_optimizer
+    if max_grad_norm and max_grad_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
+
+
+def make_train_step(model, optimizer, bpe_only: bool = False,
+                    skip_nonfinite: bool = True):
+    """Returns train_step(state, batch, key) -> (state, metrics).
+
+    batch: dict(x (B,T) or (B,T,C), xlen (B,), y (B,H,L), ylen (B,H)).
+    """
+
+    def loss_fn(params, batch_stats, batch, key):
+        variables = {'params': params, 'batch_stats': batch_stats}
+        outputs, mutated = model.apply(
+            variables, batch['x'], xlen=batch['xlen'], training=True,
+            mutable=['batch_stats'], rngs={'dropout': key})
+        loss_per_utt = compute_losses(outputs, batch['y'], batch['ylen'], bpe_only=bpe_only)
+        loss = jnp.mean(loss_per_utt)
+        lp0 = outputs['log_probs'][0]
+        ent = jnp.mean(entropy(lp0, outputs['olen'][0]))
+        return loss, (mutated['batch_stats'], ent)
+
+    def train_step(state: TrainState, batch, key):
+        (loss, (new_stats, ent)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, key)
+
+        finite = jnp.isfinite(loss)
+        if skip_nonfinite:
+            grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        if skip_nonfinite:
+            # on non-finite loss keep everything (spec: train.py:769, 795-798)
+            new_params = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
+                                      new_params, state.params)
+            new_opt_state = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
+                                         new_opt_state, state.opt_state)
+            new_stats = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
+                                     new_stats, state.batch_stats)
+        grad_norm = optax.global_norm(grads)
+        metrics = dict(loss=loss, entropy=ent, grad_norm=grad_norm,
+                       finite=finite.astype(jnp.float32))
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats, opt_state=new_opt_state), metrics
+
+    return train_step
+
+
+def make_eval_step(model, bpe_only: bool = False):
+    def eval_step(params, batch_stats, batch):
+        outputs = model.apply({'params': params, 'batch_stats': batch_stats},
+                              batch['x'], xlen=batch['xlen'], training=False)
+        metrics = {}
+        if 'y' in batch and batch['y'] is not None:
+            loss_per_utt = compute_losses(outputs, batch['y'], batch['ylen'], bpe_only=bpe_only)
+            metrics['loss'] = loss_per_utt
+        lp0 = outputs['log_probs'][0]
+        metrics['entropy'] = entropy(lp0, outputs['olen'][0])
+        return outputs, metrics
+    return eval_step
+
+
+def init_train_state(model, optimizer, example_batch, rng) -> TrainState:
+    variables = model.init(rng, example_batch['x'], xlen=example_batch['xlen'])
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    return TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=optimizer.init(params))

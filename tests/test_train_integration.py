@@ -1,0 +1,205 @@
+"""End-to-end training-step tests on a virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from convasr_tpu.models.jasper import JasperNet
+from convasr_tpu.parallel.mesh import make_mesh
+from convasr_tpu.train.loop import (
+    TrainState, init_train_state, make_eval_step, make_optimizer_with_accum, make_train_step,
+)
+from convasr_tpu.train.optim import make_optimizer
+
+
+def tiny_model(**kwargs):
+    return JasperNet(num_input_features=8, num_classes=(6,), repeat=1, num_subblocks=1,
+                     residual='dense', kernel_sizes=(3,), kernel_size_prologue=3,
+                     kernel_size_epilogue=3, base_width=4, out_width_factors=(2,),
+                     out_width_factors_large=(3, 3), dropout=0.0, temporal_mask=False,
+                     stride1=2, **kwargs)
+
+
+def synth_batch(rng, B=8, T=64, L=6, C=6):
+    # targets correlated with input so the model can learn something
+    y = rng.randint(0, C - 1, size=(B, 1, L)).astype(np.int64)
+    x = rng.randn(B, T, 8).astype(np.float32)
+    return dict(x=jnp.asarray(x), xlen=jnp.ones((B,), jnp.float32),
+                y=jnp.asarray(y), ylen=jnp.full((B, 1), L, dtype=np.int64))
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        model = tiny_model()
+        rng = np.random.RandomState(0)
+        batch = synth_batch(rng)
+        optimizer = make_optimizer_with_accum(make_optimizer('novograd', lambda s: 1e-2))
+        state = init_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(model, optimizer))
+        losses = []
+        for i in range(30):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(metrics['loss']))
+        assert losses[-1] < losses[0], losses
+        assert all(np.isfinite(losses))
+
+    def test_nonfinite_loss_skips_update(self):
+        model = tiny_model()
+        rng = np.random.RandomState(1)
+        batch = synth_batch(rng)
+        optimizer = make_optimizer_with_accum(make_optimizer('sgd', lambda s: 1e-2))
+        state = init_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(model, optimizer))
+        bad = dict(batch, x=batch['x'].at[0, 0, 0].set(jnp.inf))
+        new_state, metrics = step(state, bad, jax.random.PRNGKey(0))
+        assert float(metrics['finite']) == 0.0
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_grad_accumulation(self):
+        model = tiny_model()
+        rng = np.random.RandomState(2)
+        batch = synth_batch(rng)
+        optimizer = make_optimizer_with_accum(make_optimizer('sgd', lambda s: 1e-2),
+                                              accumulate_steps=2)
+        state = init_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(model, optimizer))
+        p0 = jax.tree.leaves(state.params)[0].copy()
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+        # first micro-step: params unchanged (accumulating)
+        np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p0))
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+        assert not np.array_equal(np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p0))
+
+    def test_eval_step(self):
+        model = tiny_model()
+        rng = np.random.RandomState(3)
+        batch = synth_batch(rng)
+        optimizer = make_optimizer_with_accum(make_optimizer('sgd', lambda s: 1e-2))
+        state = init_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+        eval_step = jax.jit(make_eval_step(model))
+        outputs, metrics = eval_step(state.params, state.batch_stats, batch)
+        assert np.isfinite(np.asarray(metrics['loss'])).all()
+        assert outputs['log_probs'][0].shape[-1] == 6
+
+
+class TestSPMD:
+    def test_8_device_mesh_matches_single_device(self):
+        assert len(jax.devices()) >= 8, 'conftest must force 8 cpu devices'
+        model = tiny_model()
+        rng = np.random.RandomState(4)
+        batch = synth_batch(rng, B=8)
+        optimizer = make_optimizer_with_accum(make_optimizer('sgd', lambda s: 1e-2))
+        state = init_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+        train_step = make_train_step(model, optimizer)
+
+        # single device
+        s1, m1 = jax.jit(train_step)(state, batch, jax.random.PRNGKey(0))
+
+        # 8-device data-parallel
+        mesh = make_mesh(n_data=8)
+        repl = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P('data'))
+        state8 = jax.device_put(state, repl)
+        batch8 = jax.tree.map(lambda a: jax.device_put(a, shard), batch)
+        step8 = jax.jit(train_step, in_shardings=(repl, shard, repl),
+                        out_shardings=(repl, repl))
+        s8, m8 = step8(state8, batch8, jax.device_put(jax.random.PRNGKey(0), repl))
+
+        np.testing.assert_allclose(float(m1['loss']), float(m8['loss']), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    def test_batchnorm_stats_are_global(self):
+        """Under GSPMD the BN batch mean is over the GLOBAL batch — sharding
+        must not change the updated running stats."""
+        model = tiny_model()
+        rng = np.random.RandomState(5)
+        batch = synth_batch(rng, B=8)
+        optimizer = make_optimizer_with_accum(make_optimizer('sgd', lambda s: 1e-2))
+        state = init_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+        train_step = make_train_step(model, optimizer)
+        _, _ = jax.jit(train_step)(state, batch, jax.random.PRNGKey(0))
+        s1, _ = jax.jit(train_step)(state, batch, jax.random.PRNGKey(0))
+        mesh = make_mesh(n_data=8)
+        repl, shard = NamedSharding(mesh, P()), NamedSharding(mesh, P('data'))
+        s8, _ = jax.jit(train_step, in_shardings=(repl, shard, repl),
+                        out_shardings=(repl, repl))(
+            jax.device_put(state, repl),
+            jax.tree.map(lambda a: jax.device_put(a, shard), batch),
+            jax.device_put(jax.random.PRNGKey(0), repl))
+        for a, b in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s8.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import sys, pathlib
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+        import __graft_entry__
+        __graft_entry__.dryrun_multichip(8)
+
+
+class TestCheckpoints:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from convasr_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+        model = tiny_model()
+        rng = np.random.RandomState(6)
+        batch = synth_batch(rng)
+        optimizer = make_optimizer_with_accum(make_optimizer('sgd', lambda s: 1e-2))
+        state = init_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+        path = str(tmp_path / 'ckpt')
+        save_checkpoint(path, state, epoch=1, sampler_state=dict(batch_idx=7),
+                        args=dict(model='tiny'))
+        payload, meta = restore_checkpoint(path)
+        assert meta['epoch'] == 1 and meta['sampler']['batch_idx'] == 7
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(payload['params'])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_reference_pt_conversion(self, tmp_path):
+        """Synthesize a reference-style torch state_dict, convert, and check
+        the flax model accepts it and matches the torch oracle output."""
+        import torch
+        import sys, pathlib
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+        from torch_spec import SpecJasperNet
+        from test_model_parity import build_pair
+        from convasr_tpu.train.checkpoints import load_reference_checkpoint
+
+        model, oracle = build_pair(residual='dense')
+        # name the oracle's modules like the reference (backbone.i.conv.r.0...)
+        sd = {}
+        for i, block in enumerate(oracle.blocks):
+            for r, conv in enumerate(block.convs):
+                sd[f'backbone.{i}.conv.{r}.0.weight'] = conv.conv.weight.detach()
+            for r, bn in enumerate(block.bns):
+                sd[f'backbone.{i}.bn.{r}.weight'] = bn.weight.detach()
+                sd[f'backbone.{i}.bn.{r}.bias'] = bn.bias.detach()
+                sd[f'backbone.{i}.bn.{r}.running_mean'] = bn.running_mean
+                sd[f'backbone.{i}.bn.{r}.running_var'] = bn.running_var
+            for j, (rc, rb) in enumerate(zip(block.res_convs, block.res_bns)):
+                if isinstance(rc, torch.nn.Identity):
+                    continue
+                sd[f'backbone.{i}.conv_residual.{j}.weight'] = rc.weight.detach()
+                sd[f'backbone.{i}.conv_residual.{j}.bias'] = rc.bias.detach()
+                sd[f'backbone.{i}.bn_residual.{j}.weight'] = rb.weight.detach()
+                sd[f'backbone.{i}.bn_residual.{j}.bias'] = rb.bias.detach()
+                sd[f'backbone.{i}.bn_residual.{j}.running_mean'] = rb.running_mean
+                sd[f'backbone.{i}.bn_residual.{j}.running_var'] = rb.running_var
+        sd['decoder.0.weight'] = oracle.decoder.weight.detach()
+        sd['decoder.0.bias'] = oracle.decoder.bias.detach()
+        pt_path = str(tmp_path / 'ref.pt')
+        torch.save(dict(model_state_dict=sd, epoch=3, iteration=42), pt_path)
+
+        converted, meta = load_reference_checkpoint(pt_path)
+        assert meta['epoch'] == 3 and meta['iteration'] == 42
+        x = np.random.RandomState(7).randn(2, 32, 8).astype(np.float32)
+        out = model.apply({'params': converted['params'],
+                           'batch_stats': converted['batch_stats']}, jnp.asarray(x))
+        ours = np.asarray(out['logits'][0]).transpose(0, 2, 1)
+        with torch.no_grad():
+            ref = oracle.eval()(torch.as_tensor(x).permute(0, 2, 1)).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)

@@ -1,0 +1,310 @@
+"""Batch/dir transcription CLI — the primary product entry point.
+
+Behavior spec: /root/reference/transcribe.py (setup transcribe.py:23-60, main
+transcribe.py:63-300, flags transcribe.py:303-358). Accepts either a
+convasr_tpu orbax checkpoint directory or a reference convasr .pt checkpoint
+(converted on the fly); hyper-parameters (model name, sample rate, window,
+features) come from the checkpoint args, CLI can override.
+
+Outputs per audio file: .json / .html / .txt, plus a shared transcripts.csv
+and optional raw logits (.npz instead of the reference's .pt).
+"""
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..audio import io as audio_io
+from ..data import transcripts
+from ..data.dataset import AudioTextDataset
+from ..decode.generators import GreedyCTCGenerator
+from ..frontend.logmel import LogFilterBankFrontend
+from ..metrics import align_strings, align_words, cer as cer_fn
+from ..models.zoo import create_model
+from ..ops.ctc import ctc_alignment
+from ..text import ProcessingPipeline
+from ..train import checkpoints as ckpt_lib
+from ..vis import report as vis
+
+
+def str2bool(v):
+    return str(v).lower() in ('yes', 'true', 't', '1')
+
+
+def load_any_checkpoint(path: str):
+    """Returns (payload{params,batch_stats}, ckpt_args: dict)."""
+    if path.endswith('.pt'):
+        payload, meta = ckpt_lib.load_reference_checkpoint(path)
+        ckpt_args = meta.get('args', {})
+        if not isinstance(ckpt_args, dict):
+            ckpt_args = vars(ckpt_args)
+        return payload, ckpt_args
+    payload, meta = ckpt_lib.restore_checkpoint(path)
+    return payload, meta.get('args', {})
+
+
+def setup(args):
+    payload, ckpt_args = load_any_checkpoint(args.checkpoint)
+    for key in ['sample_rate', 'window_size', 'window_stride', 'window', 'num_input_features']:
+        if ckpt_args.get(key) is not None:
+            setattr(args, key, ckpt_args[key])
+
+    frontend = LogFilterBankFrontend(
+        out_channels=args.num_input_features, sample_rate=args.sample_rate,
+        window_size=args.window_size, window_stride=args.window_stride,
+        dither=args.dither, normalize_signal_enabled=True)
+
+    text_config = ProcessingPipeline.load_config(ckpt_args.get('text_config', args.text_config))
+    pipeline_names = ckpt_args.get('text_pipelines', args.text_pipelines)
+    text_pipeline = ProcessingPipeline.make(text_config, pipeline_names[0])
+
+    model_name = args.model or ckpt_args.get('model', 'JasperNetBig')
+    # pass through architectural hyper-params recorded in the checkpoint args
+    # (base_width etc.) so the weights always fit the module tree
+    from ..models.jasper import JasperNet
+    model_fields = {f.name for f in JasperNet.__dataclass_fields__.values()} \
+        - {'num_input_features', 'num_classes', 'frontend', 'dtype', 'bn_axis_name',
+           'decoder_type'}
+    overrides = {k: v for k, v in ckpt_args.items() if k in model_fields}
+    model = create_model(model_name, num_input_features=args.num_input_features,
+                         num_classes=(text_pipeline.tokenizer.vocab_size,),
+                         frontend=frontend,
+                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32, **overrides)
+
+    variables = {'params': payload['params'], 'batch_stats': payload.get('batch_stats', {})}
+    if not variables['params']:
+        # no weights (e.g. smoke runs): initialize randomly
+        x0 = jnp.zeros((1, args.sample_rate), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x0, xlen=jnp.ones((1,), jnp.float32))
+
+    @jax.jit
+    def forward(x, xlen):
+        out = model.apply(variables, x, xlen=xlen)
+        return out['log_probs'][0], out['logits'][0], out['olen'][0]
+
+    generator = GreedyCTCGenerator(blank_amount_to_space=args.replace_blank_series)
+    return text_pipeline, frontend, model, forward, generator
+
+
+def main(args, ext_json=('.json', '.json.gz')):
+    assert args.output_json or args.output_html or args.output_txt or args.output_csv, \
+        'at least one output format must be requested'
+    os.makedirs(args.output_path, exist_ok=True)
+
+    audio_paths = set(
+        p for f in args.input_path
+        for p in ([os.path.join(f, g) for g in os.listdir(f)] if os.path.isdir(f) else [f])
+        if os.path.isfile(p) and any(p.endswith(e) for e in args.ext))
+    json_paths = set(p for p in args.input_path if any(p.endswith(e) for e in ext_json))
+    data_paths = sorted(audio_paths | json_paths)
+
+    exclude = set(os.path.splitext(b)[0] for b in os.listdir(args.output_path)
+                  if b.endswith('.json')) if args.skip_processed else None
+    data_paths = [p for p in data_paths
+                  if exclude is None or os.path.basename(p) not in exclude]
+
+    text_pipeline, frontend, model, forward, generator = setup(args)
+    dataset = AudioTextDataset(
+        data_paths, [text_pipeline], args.sample_rate, frontend=None, mono=args.mono,
+        time_padding_multiple=args.batch_time_padding_multiple,
+        audio_backend=args.audio_backend, exclude=exclude,
+        max_duration=args.transcribe_first_n_sec,
+        mode='batched_channels' if args.join_transcript else 'batched_transcript',
+        duration_from_transcripts=args.join_transcript)
+    print('Examples count:', len(dataset))
+    meta_table = dataset.pop_meta()
+
+    csv_sep = dict(tab='\t', comma=',')[args.csv_sep]
+    csv_lines = []
+
+    for i in range(len(dataset)):
+        # non-default modes: one example IS one batch (batch_size=None
+        # semantics, transcribe.py:102); collate zips the per-segment lists
+        item = dataset[i]
+        meta, s, x, xlen, y, ylen = dataset.collate_fn(item)
+        meta = [meta_table[t['example_id']] for t in meta]
+        audio_path = meta[0]['audio_path']
+        audio_name = transcripts.audio_name(audio_path)
+        if x.size == 0:
+            print(f'Skipping empty [{audio_path}]')
+            continue
+
+        tic = time.time()
+        begin = np.asarray([t['begin'] for t in meta], dtype=np.float64)
+        end = np.asarray([t['end'] for t in meta], dtype=np.float64)
+        channel = [t['channel'] for t in meta]
+        speaker = [t['speaker'] for t in meta]
+        speaker_name = [t.get('speaker_name') for t in meta]
+        duration = x.shape[-1] / args.sample_rate
+
+        log_probs, logits, olen = forward(jnp.asarray(x[:, 0, :]), jnp.asarray(xlen))
+        log_probs, logits, olen = map(np.asarray, (log_probs, logits, olen))
+        print(f'Processing {i}/{len(dataset)}: {audio_path} '
+              f'({duration:.2f}s audio, {time.time() - tic:.2f}s compute)')
+
+        T_out = log_probs.shape[1]
+        ts = duration * np.linspace(0, 1, T_out)[None, :].repeat(x.shape[0], axis=0)
+
+        extra = [dict(speaker=s_, speaker_name=sn, channel=c)
+                 for s_, sn, c in zip(speaker, speaker_name, channel)]
+        ref_segments = [[dict(channel=channel[k], begin=begin[k], end=end[k],
+                              ref=text_pipeline.postprocess(
+                                  text_pipeline.preprocess(meta[k]['ref'])))]
+                        for k in range(len(meta))]
+        hyp_segments = [alts[0] for alts in generator.generate(
+            tokenizer=text_pipeline.tokenizer, log_probs=log_probs, begin=begin, end=end,
+            output_lengths=olen, time_stamps=ts, segment_text_key='hyp',
+            segment_extra_info=extra)]
+        hyp_segments = [transcripts.map_text(text_pipeline.postprocess, hyp=h)
+                        for h in hyp_segments]
+        hyp = '\n'.join(transcripts.join(hyp=h) for h in hyp_segments).strip()
+        ref = '\n'.join(transcripts.join(ref=r) for r in ref_segments).strip()
+        if args.verbose:
+            print('HYP:', hyp)
+        if ref:
+            print('CER: {:.02%}'.format(cer_fn(hyp=hyp, ref=ref)))
+
+        if args.align and y.size > 0 and int(ylen[:, 0].max()) > 0:
+            # forced alignment of refs onto the CTC lattice (spec:
+            # transcribe.py:175-195); blank = eps class
+            alignment = np.asarray(ctc_alignment(
+                jnp.asarray(log_probs), jnp.asarray(y[:, 0, :]),
+                jnp.asarray(olen, np.int32), jnp.asarray(ylen[:, 0], np.int32),
+                blank=text_pipeline.tokenizer.eps_id))
+            aligned_ts = np.take_along_axis(ts, alignment, axis=1)
+            onehot = np.eye(log_probs.shape[-1], dtype=np.float32)[y[:, 0, :]]
+            ref_segments = [alts[0] for alts in generator.generate(
+                tokenizer=text_pipeline.tokenizer, log_probs=onehot, begin=begin, end=end,
+                output_lengths=ylen[:, 0], time_stamps=aligned_ts,
+                segment_text_key='ref', segment_extra_info=extra)]
+            ref_segments = [transcripts.map_text(text_pipeline.postprocess, ref=r)
+                            for r in ref_segments]
+
+        ref_transcript, hyp_transcript = [
+            sorted(transcripts.flatten(segs), key=transcripts.sort_key)
+            for segs in [ref_segments, hyp_segments]]
+
+        if args.max_segment_duration:
+            if ref:
+                ref_segments = list(transcripts.segment_by_time(
+                    ref_transcript, args.max_segment_duration))
+                hyp_segments = list(transcripts.segment_by_ref(hyp_transcript, ref_segments))
+            else:
+                hyp_segments = list(transcripts.segment_by_time(
+                    hyp_transcript, args.max_segment_duration))
+                ref_segments = [[] for _ in hyp_segments]
+        elif args.ref_transcript_path and args.join_transcript:
+            base = audio_name.split('.')[0]
+            ref_segments = [[t] for t in sorted(
+                transcripts.load(os.path.join(args.ref_transcript_path, base + '.json')),
+                key=transcripts.sort_key)]
+            hyp_segments = list(transcripts.segment_by_ref(
+                hyp_transcript, ref_segments, set_speaker=True, soft=False))
+
+        transcript = []
+        for hyp_seg, ref_seg in zip(hyp_segments, ref_segments):
+            h, r = transcripts.join(hyp=hyp_seg), transcripts.join(ref=ref_seg)
+            transcript.append(dict(
+                audio_path=audio_path, ref=r, hyp=h,
+                speaker_name=transcripts.speaker_name(ref=ref_seg, hyp=hyp_seg),
+                words=align_words(*align_strings(hyp=h, ref=r)) if args.align_words else [],
+                words_ref=ref_seg if args.align_words else [],
+                words_hyp=hyp_seg if args.align_words else [],
+                **transcripts.summary(hyp_seg),
+                cer=cer_fn(hyp=h, ref=r)))
+
+        transcripts.collect_speaker_names(transcript, set_speaker_data=True, num_speakers=2)
+        filtered = list(transcripts.prune(
+            transcript, align_boundary_words=args.align_boundary_words,
+            cer=args.prune_cer, duration=args.prune_duration, gap=args.prune_gap,
+            allowed_unk_count=args.prune_unk, num_speakers=args.prune_num_speakers))
+        print('Filtered segments:', len(filtered), 'of', len(transcript))
+
+        if args.output_json:
+            print(transcripts.save(os.path.join(args.output_path, audio_name + '.json'),
+                                   filtered))
+        if args.output_html:
+            print(vis.transcript(os.path.join(args.output_path, audio_name + '.html'),
+                                 args.sample_rate, args.mono, transcript, filtered))
+        if args.output_txt:
+            path = os.path.join(args.output_path, audio_name + '.txt')
+            with open(path, 'w') as f:
+                f.write(' '.join(t['hyp'].strip() for t in filtered))
+            print(path)
+        if args.output_csv and filtered:
+            csv_lines.append(csv_sep.join([
+                audio_path, ' '.join(t['hyp'].strip() for t in filtered),
+                str(min(t['begin'] for t in filtered)),
+                str(max(t['end'] for t in filtered))]))
+        if args.logits:
+            path = os.path.join(args.output_path, audio_name + '.npz')
+            np.savez(path, **{f'logits_{k}': logits[k, :int(olen[k])]
+                              for k in range(len(logits))},
+                     ref=ref, hyp=hyp, audio_path=audio_path)
+            print(path)
+
+    if args.output_csv:
+        path = os.path.join(args.output_path, 'transcripts.csv')
+        with open(path, 'w') as f:
+            f.write('\n'.join(csv_lines))
+        print(path)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--verbose', action='store_true')
+    parser.add_argument('--checkpoint', required=True)
+    parser.add_argument('--model')
+    parser.add_argument('--batch-time-padding-multiple', type=int, default=128)
+    parser.add_argument('--ext', nargs='*', default=['wav', 'mp3', 'opus', 'm4a'])
+    parser.add_argument('--skip-processed', action='store_true')
+    parser.add_argument('--input-path', '-i', nargs='+', required=True)
+    parser.add_argument('--output-path', '-o', default='data/transcribe')
+    parser.add_argument('--output-json', action='store_true')
+    parser.add_argument('--output-html', action='store_true')
+    parser.add_argument('--output-txt', action='store_true')
+    parser.add_argument('--output-csv', action='store_true')
+    parser.add_argument('--csv-sep', default='tab', choices=['tab', 'comma'])
+    parser.add_argument('--bf16', type=str2bool, nargs='?', const=True, default=True)
+    parser.add_argument('--num-workers', type=int, default=0)
+    parser.add_argument('--mono', action='store_true')
+    parser.add_argument('--audio-backend', default=None, choices=[None, 'sox', 'ffmpeg'])
+    parser.add_argument('--decoder', default='GreedyDecoder',
+                        choices=['GreedyDecoder', 'BeamSearchDecoder'])
+    parser.add_argument('--decoder-topk', type=int, default=1)
+    parser.add_argument('--beam-width', type=int, default=5000)
+    parser.add_argument('--beam-alpha', type=float, default=0.3)
+    parser.add_argument('--beam-beta', type=float, default=1.0)
+    parser.add_argument('--lm')
+    parser.add_argument('--align', action='store_true')
+    parser.add_argument('--logits', action='store_true')
+    parser.add_argument('--align-boundary-words', action='store_true')
+    parser.add_argument('--align-words', action='store_true')
+    parser.add_argument('--max-segment-duration', type=float, default=0.0)
+    parser.add_argument('--prune-cer', type=transcripts.number_tuple)
+    parser.add_argument('--prune-duration', type=transcripts.number_tuple)
+    parser.add_argument('--prune-num-speakers', type=transcripts.number_tuple)
+    parser.add_argument('--prune-gap', type=transcripts.number_tuple)
+    parser.add_argument('--prune-unk', type=transcripts.number_tuple)
+    parser.add_argument('--replace-blank-series', type=int, default=8)
+    parser.add_argument('--transcribe-first-n-sec', type=int)
+    parser.add_argument('--join-transcript', action='store_true')
+    parser.add_argument('--sample-rate', type=int, default=8000)
+    parser.add_argument('--window-size', type=float, default=0.02)
+    parser.add_argument('--window-stride', type=float, default=0.01)
+    parser.add_argument('--window', default='hann_window')
+    parser.add_argument('--num-input-features', type=int, default=64)
+    parser.add_argument('--dither', type=float, default=0.0)
+    parser.add_argument('--text-config', default='configs/ru_text_config.json')
+    parser.add_argument('--text-pipelines', nargs='+', default=['char_legacy'])
+    parser.add_argument('--ref-transcript-path')
+    return parser
+
+
+if __name__ == '__main__':
+    main(build_parser().parse_args())

@@ -1,0 +1,90 @@
+"""End-to-end transcribe CLI smoke test: checkpoint -> wav -> transcript files."""
+import json
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope='module')
+def checkpoint_and_audio(tmp_path_factory):
+    from convasr_tpu.audio import write_audio
+    from convasr_tpu.frontend.logmel import LogFilterBankFrontend
+    from convasr_tpu.models.zoo import create_model
+    from convasr_tpu.train.checkpoints import save_checkpoint
+    from convasr_tpu.train.loop import TrainState
+
+    tmp = tmp_path_factory.mktemp('transcribe')
+    sr = 8000
+    frontend = LogFilterBankFrontend(out_channels=16, sample_rate=sr,
+                                     window_size=0.02, window_stride=0.01, dither=0.0)
+    model = create_model('JasperNetSmall', num_input_features=16, num_classes=(38,),
+                         frontend=frontend, base_width=8)
+    x0 = jnp.zeros((1, sr), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, xlen=jnp.ones((1,), jnp.float32))
+    state = TrainState(step=jnp.zeros([], jnp.int32), params=variables['params'],
+                       batch_stats=variables.get('batch_stats', {}), opt_state={})
+    ckpt_path = str(tmp / 'ckpt')
+    args = dict(model='JasperNetSmall', sample_rate=sr, window_size=0.02,
+                window_stride=0.01, window='hann_window', num_input_features=16,
+                text_config=str(ROOT / 'configs' / 'ru_text_config.json'),
+                text_pipelines=['char_legacy'], base_width=8)
+    save_checkpoint(ckpt_path, state, epoch=0, args=args)
+
+    wav_path = str(tmp / 'utt.wav')
+    rng = np.random.RandomState(0)
+    write_audio(wav_path, (0.1 * rng.randn(1, sr * 1)).astype(np.float32), sr)
+    ref_json = str(tmp / 'utt.wav.json')
+    with open(ref_json, 'w') as f:
+        json.dump([dict(audio_path=wav_path, ref='привет мир', begin=0.0, end=1.0)], f,
+                  ensure_ascii=False)
+    return ckpt_path, wav_path, str(tmp)
+
+
+def run_cli(checkpoint_and_audio, extra_args=()):
+    from convasr_tpu.cli.transcribe import build_parser, main
+    ckpt_path, wav_path, tmp = checkpoint_and_audio
+    out_dir = os.path.join(tmp, 'out')
+    argv = ['--checkpoint', ckpt_path, '-i', wav_path, '-o', out_dir,
+            '--output-json', '--output-txt', '--output-csv', '--mono',
+            '--bf16', 'false'] + list(extra_args)
+    args = build_parser().parse_args(argv)
+    main(args)
+    return out_dir, wav_path
+
+
+class TestTranscribeCLI:
+    def test_outputs_created(self, checkpoint_and_audio):
+        out_dir, wav_path = run_cli(checkpoint_and_audio)
+        name = os.path.basename(wav_path)
+        json_out = os.path.join(out_dir, name + '.json')
+        txt_out = os.path.join(out_dir, name + '.txt')
+        csv_out = os.path.join(out_dir, 'transcripts.csv')
+        assert os.path.exists(json_out) and os.path.exists(txt_out) and os.path.exists(csv_out)
+        segments = json.load(open(json_out))
+        assert isinstance(segments, list)
+        for t in segments:
+            assert 'hyp' in t and 'cer' in t
+
+    def test_align_flag(self, checkpoint_and_audio):
+        out_dir, wav_path = run_cli(checkpoint_and_audio, ['--align', '--align-words'])
+        name = os.path.basename(wav_path)
+        segments = json.load(open(os.path.join(out_dir, name + '.json')))
+        assert isinstance(segments, list)
+
+    def test_checkpoint_args_override_cli(self, checkpoint_and_audio):
+        from convasr_tpu.cli.transcribe import build_parser, setup
+        ckpt_path, wav_path, tmp = checkpoint_and_audio
+        args = build_parser().parse_args([
+            '--checkpoint', ckpt_path, '-i', wav_path, '--output-json',
+            '--sample-rate', '16000', '--num-input-features', '64', '--bf16', 'false'])
+        setup(args)
+        # hyper-params come FROM the checkpoint (spec: transcribe.py:26)
+        assert args.sample_rate == 8000
+        assert args.num_input_features == 16

@@ -1,0 +1,374 @@
+"""Training CLI: epochs/iterations, validation with error analytics, checkpoints.
+
+Behavior spec: /root/reference/train.py — main loop train.py:733-830,
+evaluate_model train.py:156-341, apply_model train.py:120-153, experiment-id
+templating train.py:363-377, flag set train.py:877-1057.
+
+TPU-native execution: one jitted SPMD train step over a data mesh (all local
+devices); bf16 compute; NovoGrad/AdamW/SGD with step-based schedules; orbax
+checkpoints carrying {params, batch_stats, opt_state, step} + sampler
+position + args. The reference's apex.amp/DDP machinery is replaced by dtype
+policy + GSPMD sharding.
+"""
+import argparse
+import itertools
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..data import transcripts
+from ..data.dataset import AudioTextDataset, frame_count_bucket_fn
+from ..data.sampler import BucketingBatchSampler
+from ..decode.generators import GreedyCTCGenerator
+from ..frontend.logmel import LogFilterBankFrontend
+from ..infra import perf
+from ..infra.utils import set_random_seed, setup_logging
+from ..metrics import ErrorAnalyzer, ErrorTagger, WordTagger, quantiles
+from ..models.zoo import create_model
+from ..parallel.mesh import make_mesh
+from ..text import ProcessingPipeline, Stemmer
+from ..train import checkpoints as ckpt_lib
+from ..train.loop import (
+    TrainState, init_train_state, make_eval_step, make_optimizer_with_accum, make_train_step,
+)
+from ..train.optim import make_optimizer, multistep_lr, noop_lr, polynomial_decay_lr
+
+
+def make_lr_schedule(args):
+    if args.scheduler == 'MultiStepLR':
+        return multistep_lr(args.lr, args.decay_gamma, args.decay_milestones)
+    if args.scheduler == 'PolynomialDecayLR':
+        return polynomial_decay_lr(args.lr, args.decay_steps, power=args.decay_power,
+                                   begin_decay_at=args.decay_begin,
+                                   end_lr=args.decay_end_lr,
+                                   warmup_steps=args.warmup_steps)
+    return noop_lr(args.lr)
+
+
+def expand_experiment_id(args):
+    if not args.experiment_id:
+        args.experiment_id = args.experiment_name or \
+            '{model}_{optimizer}_lr{lr:.0e}_wd{weight_decay:.0e}_bs{train_batch_size}'.format(
+                **vars(args))
+    args.experiment_dir = os.path.join(args.experiments_dir, args.experiment_id)
+    return args
+
+
+def build_text_pipelines(args):
+    config = ProcessingPipeline.load_config(args.text_config)
+    return [ProcessingPipeline.make(config, name) for name in args.text_pipelines]
+
+
+def build_model_and_frontend(args, text_pipelines):
+    frontend = LogFilterBankFrontend(
+        out_channels=args.num_input_features, sample_rate=args.sample_rate,
+        window_size=args.window_size, window_stride=args.window_stride,
+        dither=args.dither)
+    num_classes = tuple(p.tokenizer.vocab_size for p in text_pipelines)
+    decoder_type = 'bpe' if len(num_classes) > 1 else None
+    model = create_model(args.model, num_input_features=args.num_input_features,
+                         num_classes=num_classes, frontend=frontend,
+                         decoder_type=decoder_type, dropout=args.dropout,
+                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    return model, frontend
+
+
+def build_error_analyzer(args):
+    word_tags, configs = {}, {}
+    if args.val_config and os.path.exists(args.val_config):
+        with open(args.val_config) as f:
+            val_config = json.load(f)
+        word_tags = val_config.get('word_tags', {})
+        configs = val_config.get('error_analyzer', {})
+    vocab = set(map(str.strip, open(args.vocab))) if args.vocab and os.path.exists(args.vocab) \
+        else set()
+    text_config = ProcessingPipeline.load_config(args.text_config)
+    from ..text import TextPostprocessor
+    postprocessors = {name: TextPostprocessor(**cfg)
+                      for name, cfg in text_config['postprocess'].items()}
+    return ErrorAnalyzer(word_tagger=WordTagger(stemmer=Stemmer(args.lang),
+                                                word_tags=word_tags, vocab=vocab),
+                         error_tagger=ErrorTagger(), configs=configs,
+                         postprocessors=postprocessors)
+
+
+def batches_from_sampler(dataset, sampler, rank=0, world_size=1):
+    for batch_indices in (sampler.shard(rank) if world_size > 1 else iter(sampler)):
+        items = [dataset[i] for i in batch_indices]
+        yield dataset.collate_fn(items)
+
+
+def to_device_batch(meta_s_x, mesh=None):
+    meta, s, x, xlen, y, ylen = meta_s_x
+    batch = dict(x=jnp.asarray(x[:, 0, :]), xlen=jnp.asarray(xlen),
+                 y=jnp.asarray(y), ylen=jnp.asarray(ylen))
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P('data'))
+        batch = jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+    return meta, batch
+
+
+def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
+                   error_analyzer, epoch=0, iteration=0, training=False):
+    """Greedy-decode validation + error analytics (spec: train.py:156-341)."""
+    _print = logging.getLogger('convasr_tpu.train').info
+    eval_step = jax.jit(make_eval_step(model, bpe_only=args.bpe_only))
+    results = {}
+    for name, dataset in val_datasets.items():
+        _print(f'{name}@{iteration}: examples: {len(dataset)}')
+        tic = time.time()
+        analyzed = []
+        for start in range(0, len(dataset), args.val_batch_size):
+            items = [dataset[i] for i in range(start, min(start + args.val_batch_size,
+                                                          len(dataset)))]
+            meta, batch = to_device_batch(dataset.collate_fn(items))
+            outputs, metrics_dev = eval_step(state.params, state.batch_stats, batch)
+            loss = np.asarray(metrics_dev['loss'])
+            entropy = np.asarray(metrics_dev['entropy'])
+            for pi, (pipeline, lp, olen) in enumerate(zip(
+                    text_pipelines, outputs['log_probs'], outputs['olen'])):
+                lp, olen = np.asarray(lp), np.asarray(olen)
+                gen = generator.generate(
+                    tokenizer=pipeline.tokenizer, log_probs=lp,
+                    begin=np.zeros(len(lp)), end=np.zeros(len(lp)),
+                    output_lengths=olen, time_stamps=None, segment_text_key='hyp')
+                hyps = [transcripts.join(hyp=alts[0]) for alts in gen]
+                for k, (m, hyp) in enumerate(zip(meta, hyps)):
+                    ref = pipeline.preprocess(m['ref'])
+                    analyzed.append(error_analyzer.analyze(
+                        hyp=hyp, ref=ref, postprocess_fn=pipeline.postprocess,
+                        detailed=args.analyze is not None,
+                        extra=dict(labels_name=pipeline.name,
+                                   audio_path=m['audio_path'],
+                                   audio_name=transcripts.audio_name(m['audio_path']),
+                                   loss=float(loss[k]), entropy=float(entropy[k]))))
+        aggregated = error_analyzer.aggregate(
+            analyzed, defaults=dict(mer_wordwise=-1, hyp_vocabness=-1, ref_vocabness=-1))
+        _print(f'{name} | epoch {epoch} iter {iteration} | '
+               'Loss: {loss:.02f} | WER: {wer:.02%} CER: {cer:.02%}'.format(**aggregated))
+        _print(f'cer quantiles: {quantiles(t["cer"] for t in analyzed)}')
+        _print(f'eval time: {time.time() - tic:.1f} sec')
+        results[name] = aggregated
+
+        if args.output_json or args.output_csv:
+            os.makedirs(args.experiment_dir, exist_ok=True)
+            base = os.path.join(args.experiment_dir,
+                                f'transcripts_{name}_epoch{epoch:02d}_iter{iteration:07d}')
+            if args.output_json:
+                with open(base + '.json', 'w') as f:
+                    json.dump(analyzed, f, ensure_ascii=False, indent=2, sort_keys=True,
+                              default=str)
+            if args.output_csv:
+                with open(base + '.csv', 'w') as f:
+                    f.writelines('{audio_path},{hyp},{ref},{cer}\n'.format(**t)
+                                 for t in analyzed)
+        if training:
+            perf.update(dict(wer=aggregated['wer'], cer=aggregated['cer'],
+                             loss=aggregated['loss']), prefix=f'val_{name}')
+    return results
+
+
+def main(args):
+    args = expand_experiment_id(args)
+    os.makedirs(args.experiment_dir, exist_ok=True)
+    logger = setup_logging(os.path.join(args.experiment_dir, 'log.txt'))
+    _print = logging.getLogger('convasr_tpu.train').info
+    set_random_seed(args.seed)
+
+    text_pipelines = build_text_pipelines(args)
+    model, frontend = build_model_and_frontend(args, text_pipelines)
+    generator = GreedyCTCGenerator(blank_amount_to_space=args.replace_blank_series)
+    error_analyzer = build_error_analyzer(args)
+
+    bucket_fn = frame_count_bucket_fn(args.window_stride, args.batch_time_padding_multiple)
+    val_datasets = {
+        os.path.basename(path): AudioTextDataset(
+            path, text_pipelines, args.sample_rate,
+            min_duration=args.min_duration, max_duration=args.max_duration,
+            time_padding_multiple=args.batch_time_padding_multiple,
+            bucket_fn=bucket_fn, mono=True, audio_backend=args.audio_backend)
+        for path in (args.val_data_path or [])}
+
+    # optimizer + state
+    schedule = make_lr_schedule(args)
+    base_opt = make_optimizer(args.optimizer, schedule, momentum=args.momentum,
+                              weight_decay=args.weight_decay, betas=tuple(args.betas),
+                              nesterov=args.nesterov)
+    optimizer = make_optimizer_with_accum(base_opt, max_grad_norm=args.max_norm,
+                                          accumulate_steps=args.train_batch_accumulate_iterations)
+
+    example_T = args.sample_rate  # 1 s dummy for init
+    example_batch = dict(x=jnp.zeros((1, example_T), jnp.float32),
+                         xlen=jnp.ones((1,), jnp.float32),
+                         y=jnp.zeros((1, len(text_pipelines), 8), jnp.int64),
+                         ylen=jnp.ones((1, len(text_pipelines)), jnp.int64))
+    state = init_train_state(model, optimizer, example_batch, jax.random.PRNGKey(args.seed))
+    epoch_start, sampler_state = 0, None
+    if args.checkpoint:
+        payload, meta = ckpt_lib.restore_checkpoint(args.checkpoint) \
+            if not args.checkpoint.endswith('.pt') else ckpt_lib.load_reference_checkpoint(args.checkpoint)
+        state = state.replace(params=payload['params'],
+                              batch_stats=payload.get('batch_stats', state.batch_stats))
+        if not args.skip_optimizer_reset and 'opt_state' in payload:
+            try:
+                state = state.replace(opt_state=payload['opt_state'],
+                                      step=jnp.asarray(payload.get('step', 0)))
+            except Exception:
+                _print('optimizer state not restored (fresh optimizer)')
+        epoch_start = meta.get('epoch', 0) if isinstance(meta, dict) else 0
+        sampler_state = meta.get('sampler') if isinstance(meta, dict) else None
+
+    if not args.train_data_path:
+        evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
+                       error_analyzer, epoch=epoch_start,
+                       iteration=int(jax.device_get(state.step)))
+        return
+
+    train_dataset = AudioTextDataset(
+        args.train_data_path, text_pipelines, args.sample_rate,
+        min_duration=args.min_duration, max_duration=args.max_duration,
+        time_padding_multiple=args.batch_time_padding_multiple,
+        bucket_fn=bucket_fn, mono=True, audio_backend=args.audio_backend, pop_meta=True)
+    sampler = BucketingBatchSampler(train_dataset, batch_size=args.train_batch_size,
+                                    world_size=max(jax.process_count(), 1))
+    if sampler_state:
+        sampler.load_state_dict(sampler_state)
+
+    # data-axis size must divide the per-step batch; use the largest divisor
+    n_dev = len(jax.devices())
+    n_data = max(d for d in range(1, n_dev + 1) if args.train_batch_size % d == 0)
+    mesh = make_mesh(n_data=n_data) if n_data > 1 else None
+    train_step = make_train_step(model, optimizer, bpe_only=args.bpe_only)
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P('data'))
+        state = jax.device_put(state, repl)
+        train_step = jax.jit(train_step, in_shardings=(repl, shard, repl),
+                             out_shardings=(repl, repl), donate_argnums=(0,))
+    else:
+        train_step = jax.jit(train_step, donate_argnums=(0,))
+
+    perf.init_default()
+    iteration = int(jax.device_get(state.step))
+    _print(f'start training at epoch {epoch_start} iteration {iteration}')
+    toc = time.time()
+    for epoch in range(epoch_start, args.epochs):
+        sampler.set_epoch(epoch)
+        for meta, batch in (to_device_batch(b, mesh) for b in
+                            batches_from_sampler(train_dataset, sampler)):
+            data_time = time.time() - toc
+            key = jax.random.fold_in(jax.random.PRNGKey(args.seed), iteration)
+            if mesh is not None:
+                key = jax.device_put(key, repl)
+            state, metrics_dev = train_step(state, batch, key)
+            iteration += 1
+            sampler.batch_idx += 1
+            if iteration % args.log_iteration_interval == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics_dev).items()}
+                step_time = time.time() - toc - data_time
+                perf.update(dict(loss=m['loss'], entropy=m['entropy'],
+                                 grad_norm=m['grad_norm'],
+                                 time_ms_data=data_time * 1e3,
+                                 time_ms_step=step_time * 1e3), prefix='train')
+                _print(f'epoch {epoch} iter {iteration} loss {m["loss"]:.4f} '
+                       f'entropy {m["entropy"]:.3f} grad_norm {m["grad_norm"]:.3f} '
+                       f'data {data_time * 1e3:.0f}ms step {step_time * 1e3:.0f}ms')
+                with open(os.path.join(args.experiment_dir, 'log.json'), 'a') as f:
+                    f.write(json.dumps(dict(epoch=epoch, iteration=iteration, **m)) + '\n')
+            toc = time.time()
+            if args.val_iteration_interval and iteration % args.val_iteration_interval == 0:
+                evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
+                               error_analyzer, epoch=epoch, iteration=iteration,
+                               training=True)
+                if not args.checkpoint_skip:
+                    ckpt_lib.save_checkpoint(
+                        ckpt_lib.checkpoint_path(args.experiment_dir, epoch, iteration),
+                        jax.device_get(state), epoch=epoch,
+                        sampler_state=sampler.state_dict(), args=vars(args))
+            if args.iterations and iteration >= args.iterations:
+                break
+        else:
+            sampler.batch_idx = 0
+            evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
+                           error_analyzer, epoch=epoch, iteration=iteration, training=True)
+            if not args.checkpoint_skip:
+                ckpt_lib.save_checkpoint(
+                    ckpt_lib.checkpoint_path(args.experiment_dir, epoch, iteration),
+                    jax.device_get(state), epoch=epoch + 1,
+                    sampler_state=dict(batch_idx=0), args=vars(args))
+            continue
+        break
+    _print('training done')
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--experiment-id', default='')
+    parser.add_argument('--experiment-name', default='')
+    parser.add_argument('--experiments-dir', default='data/experiments')
+    parser.add_argument('--checkpoint', help='resume checkpoint (orbax dir or reference .pt)')
+    parser.add_argument('--checkpoint-skip', action='store_true')
+    parser.add_argument('--skip-optimizer-reset', action='store_true')
+    parser.add_argument('--model', default='JasperNetBig')
+    parser.add_argument('--train-data-path', nargs='*', default=[])
+    parser.add_argument('--val-data-path', nargs='*', default=[])
+    parser.add_argument('--sample-rate', type=int, default=8000)
+    parser.add_argument('--window-size', type=float, default=0.02)
+    parser.add_argument('--window-stride', type=float, default=0.01)
+    parser.add_argument('--window', default='hann_window')
+    parser.add_argument('--num-input-features', type=int, default=64)
+    parser.add_argument('--dither', type=float, default=1e-5)
+    parser.add_argument('--min-duration', type=float, default=0.1)
+    parser.add_argument('--max-duration', type=float, default=10.0)
+    parser.add_argument('--batch-time-padding-multiple', type=int, default=128)
+    parser.add_argument('--audio-backend', default=None)
+    parser.add_argument('--text-config', default='configs/ru_text_config.json')
+    parser.add_argument('--text-pipelines', nargs='+', default=['char_legacy'])
+    parser.add_argument('--val-config', default='configs/ru_val_config.json')
+    parser.add_argument('--vocab', default='data/vocab_word_list.txt')
+    parser.add_argument('--lang', default='ru')
+    parser.add_argument('--analyze', nargs='*', default=None)
+    parser.add_argument('--optimizer', default='NovoGrad',
+                        choices=['SGD', 'AdamW', 'NovoGrad', 'FusedNovoGrad'])
+    parser.add_argument('--lr', type=float, default=1e-2)
+    parser.add_argument('--weight-decay', type=float, default=1e-3)
+    parser.add_argument('--momentum', type=float, default=0.5)
+    parser.add_argument('--nesterov', action='store_true')
+    parser.add_argument('--betas', nargs=2, type=float, default=[0.9, 0.999])
+    parser.add_argument('--max-norm', type=float, default=100.0)
+    parser.add_argument('--scheduler', default='',
+                        choices=['', 'MultiStepLR', 'PolynomialDecayLR'])
+    parser.add_argument('--decay-gamma', type=float, default=0.1)
+    parser.add_argument('--decay-milestones', nargs='*', type=int, default=[25000, 50000])
+    parser.add_argument('--decay-power', type=float, default=2.0)
+    parser.add_argument('--decay-begin', type=int, default=0)
+    parser.add_argument('--decay-steps', type=int, default=100000)
+    parser.add_argument('--decay-end-lr', type=float, default=0.0)
+    parser.add_argument('--warmup-steps', type=int, default=0)
+    parser.add_argument('--epochs', type=int, default=5)
+    parser.add_argument('--iterations', type=int, default=0)
+    parser.add_argument('--train-batch-size', type=int, default=64)
+    parser.add_argument('--val-batch-size', type=int, default=64)
+    parser.add_argument('--train-batch-accumulate-iterations', type=int, default=1)
+    parser.add_argument('--log-iteration-interval', type=int, default=100)
+    parser.add_argument('--val-iteration-interval', type=int, default=2500)
+    parser.add_argument('--seed', type=int, default=1)
+    parser.add_argument('--bf16', default=True,
+                        type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
+    parser.add_argument('--dropout', type=float, default=None)
+    parser.add_argument('--bpe-only', action='store_true')
+    parser.add_argument('--replace-blank-series', type=int, default=8)
+    parser.add_argument('--output-json', action='store_true')
+    parser.add_argument('--output-csv', action='store_true')
+    return parser
+
+
+if __name__ == '__main__':
+    main(build_parser().parse_args())

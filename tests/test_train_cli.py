@@ -1,0 +1,98 @@
+"""Train CLI smoke test: a few iterations on synthetic wavs + eval-only mode."""
+import json
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope='module')
+def corpus(tmp_path_factory):
+    from convasr_tpu.audio import write_audio
+    tmp = tmp_path_factory.mktemp('traincli')
+    sr = 8000
+    rng = np.random.RandomState(0)
+    entries = []
+    for i in range(8):
+        path = str(tmp / f'u{i}.wav')
+        dur = 0.5 + 0.25 * (i % 2)
+        write_audio(path, (0.1 * rng.randn(1, int(sr * dur))).astype(np.float32), sr)
+        entries.append(dict(audio_path=path, ref=['привет', 'мир'][i % 2],
+                            begin=0.0, end=dur))
+    train_json = str(tmp / 'train.json')
+    val_json = str(tmp / 'val.json')
+    with open(train_json, 'w') as f:
+        json.dump(entries, f, ensure_ascii=False)
+    with open(val_json, 'w') as f:
+        json.dump(entries[:4], f, ensure_ascii=False)
+    return tmp, train_json, val_json
+
+
+def make_args(tmp, train_json, val_json, **overrides):
+    from convasr_tpu.cli.train import build_parser
+    argv = [
+        '--model', 'JasperNetSmall', '--num-input-features', '16',
+        '--train-data-path', train_json, '--val-data-path', val_json,
+        '--experiments-dir', str(tmp / 'exp'), '--experiment-id', 'smoke',
+        '--train-batch-size', '4', '--val-batch-size', '4',
+        '--iterations', '3', '--log-iteration-interval', '1',
+        '--val-iteration-interval', '3', '--epochs', '2',
+        '--bf16', 'false', '--optimizer', 'SGD', '--lr', '1e-3',
+        '--batch-time-padding-multiple', '128',
+        '--text-config', str(ROOT / 'configs' / 'ru_text_config.json'),
+        '--val-config', str(ROOT / 'configs' / 'ru_val_config.json'),
+    ]
+    args = build_parser().parse_args(argv)
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+class TestTrainCLI:
+    def test_smoke_train(self, corpus, monkeypatch):
+        from convasr_tpu.cli import train as train_cli
+        from convasr_tpu.models import zoo
+        # shrink the model for CPU speed
+        orig = zoo.create_model
+
+        def small_create(name, **kw):
+            kw.setdefault('base_width', 8)
+            return orig(name, **kw)
+        monkeypatch.setattr(zoo, 'create_model', small_create)
+        monkeypatch.setattr(train_cli, 'create_model', small_create)
+
+        tmp, train_json, val_json = corpus
+        args = make_args(tmp, train_json, val_json)
+        train_cli.main(args)
+
+        exp_dir = os.path.join(str(tmp / 'exp'), 'smoke')
+        log_json = os.path.join(exp_dir, 'log.json')
+        assert os.path.exists(log_json)
+        lines = [json.loads(l) for l in open(log_json)]
+        assert len(lines) >= 3
+        assert all(np.isfinite(l['loss']) for l in lines)
+        # checkpoint written at the val interval
+        ckpts = [d for d in os.listdir(exp_dir) if d.startswith('checkpoint_')]
+        assert ckpts, os.listdir(exp_dir)
+
+    def test_eval_only_with_checkpoint(self, corpus, monkeypatch):
+        from convasr_tpu.cli import train as train_cli
+        from convasr_tpu.models import zoo
+        orig = zoo.create_model
+
+        def small_create(name, **kw):
+            kw.setdefault('base_width', 8)
+            return orig(name, **kw)
+        monkeypatch.setattr(zoo, 'create_model', small_create)
+        monkeypatch.setattr(train_cli, 'create_model', small_create)
+
+        tmp, train_json, val_json = corpus
+        exp_dir = os.path.join(str(tmp / 'exp'), 'smoke')
+        ckpts = sorted(d for d in os.listdir(exp_dir) if d.startswith('checkpoint_'))
+        args = make_args(tmp, train_json, val_json,
+                         train_data_path=[],
+                         checkpoint=os.path.join(exp_dir, ckpts[-1]))
+        train_cli.main(args)  # should run eval and return without error

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..ops.ctc import ctc_loss
+from ..ops.ctc_pallas import ctc_loss_auto as ctc_loss
 
 
 class TrainState(flax.struct.PyTreeNode):

@@ -1,0 +1,292 @@
+"""Beam-search CTC decoders: native C++ (with n-gram LM) + Python reference.
+
+Behavior spec: /root/reference/decoders.py:19-55 (BeamSearchDecoder wrapping
+ctcdecode.CTCBeamDecoder with KenLM) — same constructor parameters and
+`decode(log_probs, output_lengths)` contract returning per-utterance token-id
+lists (top-1) or lists of lists (topk > 1).
+
+The native decoder (convasr_tpu/native/ctc_beam.cpp) is compiled on demand
+with g++ into a cached shared library and bound via ctypes. The pure-Python
+`prefix_beam_search` is the executable spec used for parity tests and as a
+fallback when no compiler is available.
+"""
+import ctypes
+import hashlib
+import math
+import os
+import subprocess
+import tempfile
+import typing
+
+import numpy as np
+
+NEG_INF = -1e30
+_NATIVE_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           'native', 'ctc_beam.cpp')
+
+
+def _logsumexp(a, b):
+    if a <= NEG_INF / 2:
+        return b
+    if b <= NEG_INF / 2:
+        return a
+    m = max(a, b)
+    return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+
+class ArpaLM:
+    """Minimal ARPA n-gram LM with Katz backoff (python mirror of the C++
+    loader, for tests and fallback). Scores are natural log."""
+
+    LOG10 = math.log(10.0)
+
+    def __init__(self, path: str):
+        self.ngrams: typing.Dict[tuple, typing.Tuple[float, float]] = {}
+        self.order = 0
+        current = 0
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith('\\data\\'):
+                    continue
+                if line.startswith('\\end\\'):
+                    break
+                if line.startswith('\\') and line.endswith('-grams:'):
+                    current = int(line[1:line.index('-')])
+                    self.order = max(self.order, current)
+                    continue
+                if current == 0:
+                    continue
+                parts = line.split()
+                if len(parts) < 1 + current:
+                    continue
+                logp = float(parts[0]) * self.LOG10
+                words = tuple(parts[1:1 + current])
+                backoff = float(parts[1 + current]) * self.LOG10 \
+                    if len(parts) > 1 + current else 0.0
+                self.ngrams[words] = (logp, backoff)
+
+    def score(self, context_words: typing.Sequence[str]) -> float:
+        """log P(w_last | preceding words), backoff chain."""
+        words = tuple(context_words[-self.order:])
+        while words:
+            if words in self.ngrams:
+                return self.ngrams[words][0]
+            backoff = self.ngrams.get(words[:-1], (0.0, 0.0))[1] if len(words) > 1 else 0.0
+            if len(words) == 1:
+                unk = self.ngrams.get(('<unk>',))
+                return unk[0] if unk else -10.0 * self.LOG10
+            return backoff + self.score(words[1:])
+        return NEG_INF
+
+
+def prefix_beam_search(log_probs: np.ndarray, blank_id: int, beam_width: int = 16,
+                       labels: typing.Optional[typing.Sequence[str]] = None,
+                       lm: typing.Optional[ArpaLM] = None, alpha: float = 0.0,
+                       beta: float = 0.0, cutoff_top_n: typing.Optional[int] = None,
+                       cutoff_prob: float = 1.0, topk: int = 1):
+    """Pure-Python CTC prefix beam search (executable spec)."""
+    T, C = log_probs.shape
+    space_id = labels.index(' ') if labels is not None and ' ' in labels else -1
+    # beams: prefix(tuple) -> [p_b, p_nb, lm_score, words(tuple)]
+    beams = {(): [0.0, NEG_INF, 0.0, ()]}
+
+    def lm_extend(prefix, words, lm_score):
+        if lm is None:
+            return words, lm_score
+        chars = []
+        for tok in reversed(prefix):
+            if tok == space_id:
+                break
+            chars.append(labels[tok])
+        word = ''.join(reversed(chars))
+        if not word:
+            return words, lm_score
+        new_words = words + (word,)
+        return new_words, lm_score + alpha * lm.score(new_words) + beta
+
+    for t in range(T):
+        lp = log_probs[t]
+        order = np.argsort(lp)[::-1]
+        ncand = min(cutoff_top_n or C, C)
+        if cutoff_prob < 1.0:
+            cum, keep = 0.0, 0
+            for keep in range(ncand):
+                cum += math.exp(lp[order[keep]])
+                if cum >= cutoff_prob:
+                    break
+            ncand = max(1, keep + 1)
+        cand = order[:ncand]
+
+        next_beams: dict = {}
+
+        def entry(prefix, parent, ext_char):
+            if prefix in next_beams:
+                return next_beams[prefix]
+            _, _, lm_score, words = parent
+            if ext_char == space_id and ext_char >= 0:
+                words, lm_score = lm_extend(prefix[:-1], words, lm_score)
+            e = [NEG_INF, NEG_INF, lm_score, words]
+            next_beams[prefix] = e
+            return e
+
+        for prefix, vals in beams.items():
+            p_b, p_nb, lm_score, words = vals
+            p_total = _logsumexp(p_b, p_nb)
+            for c in cand:
+                c = int(c)
+                p = float(lp[c])
+                if c == blank_id:
+                    e = entry(prefix, vals, -1)
+                    e[0] = _logsumexp(e[0], p_total + p)
+                elif prefix and c == prefix[-1]:
+                    e = entry(prefix, vals, -1)
+                    e[1] = _logsumexp(e[1], p_nb + p)
+                    if p_b > NEG_INF / 2:
+                        ext = prefix + (c,)
+                        e2 = entry(ext, vals, c)
+                        e2[1] = _logsumexp(e2[1], p_b + p)
+                else:
+                    ext = prefix + (c,)
+                    e = entry(ext, vals, c)
+                    e[1] = _logsumexp(e[1], p_total + p)
+
+        scored = sorted(next_beams.items(),
+                        key=lambda kv: -(_logsumexp(kv[1][0], kv[1][1]) + kv[1][2]))
+        beams = dict(scored[:beam_width])
+
+    out = [(list(prefix), _logsumexp(v[0], v[1]) + v[2])
+           for prefix, v in sorted(beams.items(),
+                                   key=lambda kv: -(_logsumexp(kv[1][0], kv[1][1]) + kv[1][2]))]
+    return out[:topk]
+
+
+# ------------------- native library build + binding -------------------
+
+_lib_cache: dict = {}
+
+
+def _build_native() -> typing.Optional[str]:
+    with open(_NATIVE_SRC, 'rb') as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.path.join(tempfile.gettempdir(), 'convasr_tpu_native')
+    os.makedirs(cache_dir, exist_ok=True)
+    lib_path = os.path.join(cache_dir, f'ctc_beam_{digest}.so')
+    if os.path.exists(lib_path):
+        return lib_path
+    try:
+        subprocess.check_call(['g++', '-O3', '-std=c++17', '-shared', '-fPIC',
+                               _NATIVE_SRC, '-o', lib_path + '.tmp'])
+        os.replace(lib_path + '.tmp', lib_path)
+        return lib_path
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+
+
+def load_native():
+    if 'lib' in _lib_cache:
+        return _lib_cache['lib']
+    lib_path = _build_native()
+    if lib_path is None:
+        _lib_cache['lib'] = None
+        return None
+    lib = ctypes.CDLL(lib_path)
+    lib.bsd_create.restype = ctypes.c_void_p
+    lib.bsd_create.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                               ctypes.c_int, ctypes.c_char_p, ctypes.c_float,
+                               ctypes.c_float, ctypes.c_int, ctypes.c_int,
+                               ctypes.c_float]
+    lib.bsd_decode.restype = ctypes.c_int
+    lib.bsd_decode.argtypes = [ctypes.c_void_p,
+                               np.ctypeslib.ndpointer(np.float32, flags='C'),
+                               ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                               np.ctypeslib.ndpointer(np.int32, flags='C'),
+                               np.ctypeslib.ndpointer(np.int32, flags='C'),
+                               np.ctypeslib.ndpointer(np.float32, flags='C')]
+    lib.bsd_has_lm.restype = ctypes.c_int
+    lib.bsd_has_lm.argtypes = [ctypes.c_void_p]
+    lib.bsd_free.argtypes = [ctypes.c_void_p]
+    _lib_cache['lib'] = lib
+    return lib
+
+
+class GreedyDecoder:
+    """Top-K argmax decode (spec: decoders.py:6-16)."""
+
+    def decode(self, log_probs, output_lengths=None, K: int = 1):
+        log_probs = np.asarray(log_probs)  # (B, T, C)
+        lengths = output_lengths if output_lengths is not None \
+            else [log_probs.shape[1]] * len(log_probs)
+        if K == 1:
+            idx = log_probs.argmax(-1)
+            return [idx[b, :int(l)].tolist() for b, l in enumerate(lengths)]
+        topk = np.argsort(-log_probs, axis=-1)[..., :K]
+        return [topk[b, :int(l)].tolist() for b, l in enumerate(lengths)]
+
+
+class BeamSearchDecoder:
+    """C++ prefix beam search with optional ARPA LM (spec: decoders.py:19-55).
+
+    `tokenizer` needs .vocab (list of label strings) and .eps_id (blank).
+    """
+
+    def __init__(self, tokenizer, lm_path: typing.Optional[str] = None,
+                 beam_width: int = 128, beam_alpha: float = 0.0,
+                 beam_beta: float = 0.0, cutoff_top_n: typing.Optional[int] = 40,
+                 cutoff_prob: float = 1.0, num_workers: int = 1, topk: int = 1):
+        self.tokenizer = tokenizer
+        self.labels = [str(l).lower() for l in tokenizer.vocab]
+        self.blank_id = tokenizer.eps_id
+        self.topk = topk
+        self.beam_width = beam_width
+        self.alpha, self.beta = beam_alpha, beam_beta
+        self.cutoff_top_n = cutoff_top_n or len(self.labels)
+        self.cutoff_prob = cutoff_prob
+        self.lm_path = lm_path
+        self.lib = load_native()
+        if self.lib is not None:
+            arr = (ctypes.c_char_p * len(self.labels))(
+                *[l.encode('utf-8') for l in self.labels])
+            self.handle = self.lib.bsd_create(
+                arr, len(self.labels), self.blank_id,
+                (lm_path or '').encode(), beam_alpha, beam_beta, beam_width,
+                self.cutoff_top_n, cutoff_prob)
+        else:
+            self.handle = None
+            self.py_lm = ArpaLM(lm_path) if lm_path else None
+
+    def decode_one(self, log_probs: np.ndarray, length: typing.Optional[int] = None):
+        """log_probs: (T, C) -> list of (tokens, score) of size topk."""
+        lp = np.ascontiguousarray(np.asarray(log_probs, np.float32))
+        if length is not None:
+            lp = lp[:int(length)]
+        T, C = lp.shape
+        if self.handle is not None:
+            max_len = T + 1
+            out_tokens = np.full((self.topk, max_len), -1, np.int32)
+            out_lens = np.zeros(self.topk, np.int32)
+            out_scores = np.zeros(self.topk, np.float32)
+            n = self.lib.bsd_decode(ctypes.c_void_p(self.handle), lp, T, C, self.topk,
+                                    max_len, out_tokens, out_lens, out_scores)
+            return [(out_tokens[i, :out_lens[i]].tolist(), float(out_scores[i]))
+                    for i in range(n)]
+        return prefix_beam_search(lp, self.blank_id, beam_width=self.beam_width,
+                                  labels=self.labels, lm=self.py_lm, alpha=self.alpha,
+                                  beta=self.beta, cutoff_top_n=self.cutoff_top_n,
+                                  cutoff_prob=self.cutoff_prob, topk=self.topk)
+
+    def decode(self, log_probs, output_lengths=None):
+        """(B, T, C) -> per-utterance token list (topk=1) or list of lists."""
+        log_probs = np.asarray(log_probs)
+        lengths = output_lengths if output_lengths is not None \
+            else [log_probs.shape[1]] * len(log_probs)
+        out = []
+        for b, l in enumerate(lengths):
+            hyps = self.decode_one(log_probs[b], l)
+            tokens = [h[0] for h in hyps]
+            out.append(tokens[0] if self.topk == 1 else tokens)
+        return out
+
+    def __del__(self):
+        if getattr(self, 'handle', None) and self.lib is not None:
+            self.lib.bsd_free(ctypes.c_void_p(self.handle))

@@ -1,0 +1,124 @@
+"""Offline benchmark: synthetic-batch forward(/backward) timing + RTF.
+
+Behavior spec: /root/reference/benchmark.py:1-221 — synthetic batch, warmup,
+timed loop, RTF = B*T*iterations / fwd time, TSV append. CUDA-specific pieces
+(cudnn.benchmark, nvprof hooks, fragmentation probes) are replaced by their
+TPU-native counterparts: XLA compilation cache warms on the first call and
+`jax.profiler` traces (--profile) produce Perfetto-compatible dumps.
+"""
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    from ..frontend.logmel import LogFilterBankFrontend
+    from ..models.zoo import create_model
+    from ..train.loop import compute_losses, make_optimizer_with_accum, \
+        make_train_step, init_train_state
+    from ..train.optim import make_optimizer
+
+    frontend = LogFilterBankFrontend(
+        out_channels=args.num_input_features, sample_rate=args.sample_rate,
+        window_size=args.window_size, window_stride=args.window_stride, dither=0.0)
+    model = create_model(args.model, num_input_features=args.num_input_features,
+                         num_classes=(args.num_classes,), frontend=frontend,
+                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+    T = int(round(args.T * args.sample_rate / 128) * 128)
+    example_seconds = T / args.sample_rate
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(args.B, T).astype(np.float32) * 0.1)
+    xlen = jnp.ones((args.B,), jnp.float32)
+    print(f'batch [{args.B}, {T}] | audio {args.B * example_seconds:.2f} sec')
+
+    tic = time.time()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, xlen)
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(variables['params']))
+    print(f'model {args.model}: {n_params / 1e6:.1f}M params, '
+          f'init {time.time() - tic:.1f} sec')
+
+    if args.backward:
+        L = 64
+        batch = dict(x=x, xlen=xlen,
+                     y=jnp.asarray(rng.randint(0, args.num_classes - 1,
+                                               size=(args.B, 1, L))),
+                     ylen=jnp.full((args.B, 1), L))
+        optimizer = make_optimizer_with_accum(make_optimizer('novograd', lambda s: 1e-2))
+        state = init_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
+
+        def run():
+            nonlocal state
+            state, metrics = step(state, batch, jax.random.PRNGKey(1))
+            return metrics['loss']
+    else:
+        fwd = jax.jit(lambda v, x, xlen: model.apply(v, x, xlen=xlen)['log_probs'][0])
+
+        def run():
+            return fwd(variables, x, xlen)
+
+    print(f'warming up {args.warmup_iterations} iterations...')
+    tic = time.time()
+    for _ in range(args.warmup_iterations):
+        np.asarray(run()).reshape(-1)[:1]
+    print(f'warmup done in {time.time() - tic:.1f} sec')
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
+    times = []
+    for _ in range(args.iterations):
+        tic = time.perf_counter()
+        out = run()
+        np.asarray(out).reshape(-1)[:1]  # host sync (tunnel-safe)
+        times.append(time.perf_counter() - tic)
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f'profile trace written to {args.profile}')
+
+    times = np.asarray(times)
+    total_audio = args.B * example_seconds * args.iterations
+    rtf = total_audio / times.sum()
+    kind = 'fwd+bwd' if args.backward else 'fwd'
+    print(f'{kind}: mean {times.mean() * 1e3:.2f} ms | p50 '
+          f'{np.percentile(times, 50) * 1e3:.2f} | min {times.min() * 1e3:.2f}')
+    print(f'RTF: {rtf:.1f} audio-sec/sec')
+
+    if args.output_tsv:
+        header = not os.path.exists(args.output_tsv)
+        with open(args.output_tsv, 'a') as f:
+            if header:
+                f.write('model\tB\tT_sec\tkind\tmean_ms\trtf\n')
+            f.write(f'{args.model}\t{args.B}\t{example_seconds:.2f}\t{kind}\t'
+                    f'{times.mean() * 1e3:.2f}\t{rtf:.1f}\n')
+    return rtf
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--model', default='JasperNetBig')
+    parser.add_argument('--num-input-features', type=int, default=64)
+    parser.add_argument('--num-classes', type=int, default=38)
+    parser.add_argument('--sample-rate', type=int, default=8000)
+    parser.add_argument('--window-size', type=float, default=0.02)
+    parser.add_argument('--window-stride', type=float, default=0.01)
+    parser.add_argument('-B', type=int, default=64)
+    parser.add_argument('-T', type=float, default=6.0, help='seconds per utterance')
+    parser.add_argument('--iterations', type=int, default=20)
+    parser.add_argument('--warmup-iterations', type=int, default=3)
+    parser.add_argument('--backward', action='store_true')
+    parser.add_argument('--bf16', default=True,
+                        type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
+    parser.add_argument('--profile', help='directory for jax.profiler trace')
+    parser.add_argument('--output-tsv')
+    return parser
+
+
+if __name__ == '__main__':
+    main(build_parser().parse_args())

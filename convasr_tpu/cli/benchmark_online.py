@@ -1,0 +1,94 @@
+"""Online (latency) benchmark: random request schedule -> latency percentiles.
+
+Behavior spec: /root/reference/benchmark_online.py:59-161 — warmup, uniform
+random arrival schedule over the benchmark duration, sleep-until-request loop,
+mean/p50/p90/p95/p99/max latency + idle-time fraction. Reference published
+numbers for JasperNetBig B=1 T=6s @ 8kHz: fp16 mean 33.6 ms / ONNX 22.7 ms
+(benchmark_online.py:13-42) — the numbers to beat on TPU.
+"""
+import argparse
+import time
+
+import numpy as np
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    from ..frontend.logmel import LogFilterBankFrontend
+    from ..models.zoo import create_model
+
+    frontend = LogFilterBankFrontend(
+        out_channels=args.num_input_features, sample_rate=args.sample_rate,
+        window_size=args.window_size, window_stride=args.window_stride, dither=0.0)
+    model = create_model(args.model, num_input_features=args.num_input_features,
+                         num_classes=(args.num_classes,), frontend=frontend,
+                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+    T = int(round(args.T * args.sample_rate / 128) * 128)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(args.B, T).astype(np.float32) * 0.1)
+    xlen = jnp.ones((args.B,), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, xlen)
+
+    fwd = jax.jit(lambda v, x, xlen: model.apply(v, x, xlen=xlen)['log_probs'][0])
+
+    def serve_once():
+        # host fetch = the end-to-end cost a serving process pays
+        return np.asarray(fwd(variables, x, xlen))
+
+    print(f'warming up {args.warmup_iterations} iterations...')
+    for _ in range(args.warmup_iterations):
+        serve_once()
+
+    n_requests = int(round(args.benchmark_duration * args.rps))
+    schedule = np.sort(rng.rand(n_requests)) * args.benchmark_duration + time.perf_counter()
+    print(f'{args.benchmark_duration}s benchmark, {n_requests} requests, '
+          f'rps {args.rps:.1f}')
+
+    latencies, idle = [], 0.0
+    slow_warned = False
+    for t_request in schedule:
+        now = time.perf_counter()
+        if now < t_request:
+            idle += t_request - now
+            time.sleep(t_request - now)
+        serve_once()
+        toc = time.perf_counter()
+        if toc > t_request + args.max_latency and not slow_warned:
+            print(f"model too slow for {args.rps} rps!")
+            slow_warned = True
+        latencies.append(toc - t_request)
+
+    lat = np.asarray(latencies) * 1e3
+    print(f'Latency mean: {lat.mean():.1f} ms, '
+          f'median: {np.percentile(lat, 50):.1f} ms, '
+          f'90th: {np.percentile(lat, 90):.1f} ms, '
+          f'95th: {np.percentile(lat, 95):.1f} ms, '
+          f'99th: {np.percentile(lat, 99):.1f} ms, '
+          f'max: {lat.max():.1f} ms | '
+          f'idle fraction: {idle / args.benchmark_duration:.1%}')
+    return lat
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--model', default='JasperNetBig')
+    parser.add_argument('--num-input-features', type=int, default=64)
+    parser.add_argument('--num-classes', type=int, default=38)
+    parser.add_argument('--sample-rate', type=int, default=8000)
+    parser.add_argument('--window-size', type=float, default=0.02)
+    parser.add_argument('--window-stride', type=float, default=0.01)
+    parser.add_argument('-B', type=int, default=1)
+    parser.add_argument('-T', type=float, default=6.0)
+    parser.add_argument('--rps', type=float, default=5.0)
+    parser.add_argument('--benchmark-duration', type=float, default=60.0)
+    parser.add_argument('--max-latency', type=float, default=0.5)
+    parser.add_argument('--warmup-iterations', type=int, default=10)
+    parser.add_argument('--bf16', default=True,
+                        type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
+    return parser
+
+
+if __name__ == '__main__':
+    main(build_parser().parse_args())

@@ -1,0 +1,126 @@
+"""gRPC mock of the Google Cloud Speech `Recognize` API.
+
+Behavior spec: /root/reference/serve_google_api.py:18-81 — raw LINEAR16 bytes
+-> read_audio -> model -> greedy decode -> word-timestamped
+RecognizeResponse; thread-pool gRPC server.
+
+The reference imports google-cloud-speech's generated protos; here the same
+message layout is compiled in-repo (cloud_speech.proto -> cloud_speech_pb2)
+and the service is registered with generic method handlers, so any
+google-cloud-speech v1 client can call `/google.cloud.speech.v1.Speech/
+Recognize` against this server.
+"""
+import argparse
+import concurrent.futures
+
+import numpy as np
+
+from . import cloud_speech_pb2 as pb2
+from ..audio import io as audio_io
+from ..data import transcripts
+
+SERVICE_NAME = 'google.cloud.speech.v1.Speech'
+
+
+def mktime(t: float) -> dict:
+    return dict(seconds=int(t), nanos=int((t - int(t)) * 1e9))
+
+
+class SpeechServicer:
+    """Recognize implementation over a jitted forward + greedy generator."""
+
+    def __init__(self, text_pipeline, frontend, forward, generator):
+        self.text_pipeline = text_pipeline
+        self.frontend = frontend
+        self.forward = forward
+        self.generator = generator
+
+    def Recognize(self, request, context=None):
+        assert request.config.encoding == pb2.RecognitionConfig.LINEAR16, \
+            'only LINEAR16 supported'
+        signal, sample_rate = audio_io.read_audio(
+            None, raw_bytes=request.audio.content,
+            raw_sample_rate=request.config.sample_rate_hertz,
+            raw_num_channels=max(request.config.audio_channel_count, 1),
+            raw_dtype='int16', sample_rate=self.frontend.sample_rate, mono=True)
+
+        import jax.numpy as jnp
+        x = jnp.asarray(signal)  # (1, T)
+        xlen = jnp.ones((1,), jnp.float32)
+        log_probs, logits, olen = self.forward(x, xlen)
+        log_probs, olen = np.asarray(log_probs), np.asarray(olen)
+
+        duration = signal.shape[-1] / sample_rate
+        ts = duration * np.linspace(0, 1, log_probs.shape[1])[None, :]
+        [alts] = self.generator.generate(
+            tokenizer=self.text_pipeline.tokenizer, log_probs=log_probs,
+            begin=np.zeros(1), end=np.asarray([duration]), output_lengths=olen,
+            time_stamps=ts, segment_text_key='hyp')
+        segments = transcripts.map_text(self.text_pipeline.postprocess, hyp=alts[0])
+        hyp = transcripts.join(hyp=segments)
+
+        return pb2.RecognizeResponse(results=[dict(
+            alternatives=[dict(
+                transcript=hyp,
+                confidence=1.0,
+                words=[dict(word=t['hyp'], start_time=mktime(t['begin']),
+                            end_time=mktime(t['end']), speaker_tag=0)
+                       for t in segments])],
+            channel_tag=1)])
+
+
+def make_server(servicer: SpeechServicer, endpoint: str, num_workers: int = 10):
+    import grpc
+    handlers = grpc.method_handlers_generic_handler(SERVICE_NAME, {
+        'Recognize': grpc.unary_unary_rpc_method_handler(
+            servicer.Recognize,
+            request_deserializer=pb2.RecognizeRequest.FromString,
+            response_serializer=pb2.RecognizeResponse.SerializeToString),
+    })
+    server = grpc.server(concurrent.futures.ThreadPoolExecutor(max_workers=num_workers))
+    server.add_generic_rpc_handlers((handlers,))
+    server.add_insecure_port(endpoint)
+    return server
+
+
+def make_client_stub(channel):
+    """Callable stub for tests/clients without google-cloud-speech installed."""
+    import grpc
+    return channel.unary_unary(
+        f'/{SERVICE_NAME}/Recognize',
+        request_serializer=pb2.RecognizeRequest.SerializeToString,
+        response_deserializer=pb2.RecognizeResponse.FromString)
+
+
+def main(args):
+    from ..cli import transcribe as transcribe_cli
+    text_pipeline, frontend, model, forward, generator = transcribe_cli.setup(args)
+    servicer = SpeechServicer(text_pipeline, frontend, forward, generator)
+    server = make_server(servicer, args.endpoint, args.num_workers)
+    print('Serving google-cloud-speech API @', args.endpoint)
+    server.start()
+    server.wait_for_termination()
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--checkpoint', required=True)
+    parser.add_argument('--model')
+    parser.add_argument('--endpoint', default='127.0.0.1:50000')
+    parser.add_argument('--num-workers', type=int, default=10)
+    parser.add_argument('--bf16', default=True,
+                        type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
+    parser.add_argument('--sample-rate', type=int, default=8000)
+    parser.add_argument('--window-size', type=float, default=0.02)
+    parser.add_argument('--window-stride', type=float, default=0.01)
+    parser.add_argument('--window', default='hann_window')
+    parser.add_argument('--num-input-features', type=int, default=64)
+    parser.add_argument('--dither', type=float, default=0.0)
+    parser.add_argument('--text-config', default='configs/ru_text_config.json')
+    parser.add_argument('--text-pipelines', nargs='+', default=['char_legacy'])
+    parser.add_argument('--replace-blank-series', type=int, default=8)
+    return parser
+
+
+if __name__ == '__main__':
+    main(build_parser().parse_args())

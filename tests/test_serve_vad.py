@@ -1,0 +1,103 @@
+"""gRPC serving mock (real client/server over localhost) + VAD tests."""
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+class TestVAD:
+    def _speech_signal(self, sr=8000):
+        rng = np.random.RandomState(0)
+        quiet = 0.001 * rng.randn(sr)
+        loud = 0.5 * np.sin(2 * np.pi * 300 * np.arange(sr) / sr) + 0.01 * rng.randn(sr)
+        return np.concatenate([quiet, loud, quiet]).astype(np.float32)[None, :]
+
+    def test_detect_speech(self):
+        from convasr_tpu.audio.vad import detect_speech
+        sig = self._speech_signal()
+        mask = detect_speech(sig, 8000, window_size=0.02, aggressiveness=1)
+        assert mask.shape == sig.shape
+        # middle second mostly speech, edges mostly not
+        assert mask[0, 8000:16000].mean() > 0.8
+        assert mask[0, :8000].mean() < 0.2
+
+    def test_mask_to_segments_and_postprocess(self):
+        from convasr_tpu.audio.vad import detect_speech, mask_to_segments, postprocess_cut
+        sig = self._speech_signal()
+        mask = detect_speech(sig, 8000, window_size=0.02)
+        segments = postprocess_cut(mask_to_segments(mask[0], 8000))
+        assert len(segments) == 1
+        b, e = segments[0]
+        assert 0.7 < b < 1.3 and 1.7 < e < 2.4
+
+    def test_postprocess_batching_splits(self):
+        from convasr_tpu.audio.vad import postprocess_batching
+        out = postprocess_batching([(0.0, 45.0)], max_duration=20.0, expand=0.0)
+        assert len(out) == 3
+        assert all(e - b <= 20.0 + 1e-6 for b, e in out)
+
+    def test_upsample(self):
+        from convasr_tpu.audio.vad import upsample
+        mask = np.array([[True] * 10 + [False] * 10])
+        up = upsample(mask, 4)
+        assert up.tolist() == [[True, True, False, False]]
+
+
+@pytest.fixture(scope='module')
+def server_setup(tmp_path_factory):
+    from convasr_tpu.frontend.logmel import LogFilterBankFrontend
+    from convasr_tpu.models.zoo import create_model
+    from convasr_tpu.decode.generators import GreedyCTCGenerator
+    from convasr_tpu.serve.grpc_google_api import SpeechServicer, make_server
+    from convasr_tpu.text import ProcessingPipeline
+
+    config = ProcessingPipeline.load_config(str(ROOT / 'configs' / 'ru_text_config.json'))
+    pipeline = ProcessingPipeline.make(config, 'char_legacy')
+    sr = 8000
+    frontend = LogFilterBankFrontend(out_channels=16, sample_rate=sr,
+                                     window_size=0.02, window_stride=0.01, dither=0.0)
+    model = create_model('JasperNetSmall', num_input_features=16,
+                         num_classes=(pipeline.tokenizer.vocab_size,),
+                         frontend=frontend, base_width=8)
+    x0 = jnp.zeros((1, sr), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, xlen=jnp.ones((1,), jnp.float32))
+
+    def forward(x, xlen):
+        out = model.apply(variables, x, xlen=xlen)
+        return out['log_probs'][0], out['logits'][0], out['olen'][0]
+
+    servicer = SpeechServicer(pipeline, frontend, forward, GreedyCTCGenerator())
+    server = make_server(servicer, '127.0.0.1:50151', num_workers=2)
+    server.start()
+    yield '127.0.0.1:50151'
+    server.stop(0)
+
+
+class TestGrpcServe:
+    def test_recognize_roundtrip(self, server_setup):
+        import grpc
+        from convasr_tpu.serve import cloud_speech_pb2 as pb2
+        from convasr_tpu.serve.grpc_google_api import make_client_stub
+
+        rng = np.random.RandomState(0)
+        pcm = (0.1 * rng.randn(8000) * 32767).astype('<i2').tobytes()
+        request = pb2.RecognizeRequest()
+        request.config.encoding = pb2.RecognitionConfig.LINEAR16
+        request.config.sample_rate_hertz = 8000
+        request.config.audio_channel_count = 1
+        request.audio.content = pcm
+
+        with grpc.insecure_channel(server_setup) as channel:
+            stub = make_client_stub(channel)
+            response = stub(request, timeout=120)
+        assert len(response.results) == 1
+        alt = response.results[0].alternatives[0]
+        assert isinstance(alt.transcript, str)
+        for w in alt.words:
+            assert w.end_time.seconds >= 0

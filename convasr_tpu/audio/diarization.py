@@ -1,0 +1,288 @@
+"""Diarization utilities: 2-channel speaker selection, DER/SER evaluation.
+
+Behavior spec: /root/reference/diarization.py — select_speaker
+(diarization.py:58-99: energy max-pool morphology + sign-of-difference
+speaker decision on stereo calls), rle1d (models.py:777-785), speaker_mask /
+speaker_error with permutation search (diarization.py:168-201), ref/hyp/eval
+CLIs (diarization.py:246-282). The reference's pyannote/webrtcvad
+dependencies are optional here: SAD falls back to the in-repo energy VAD and
+DER is computed natively by speaker_error (the reference computed both and
+printed them side by side).
+"""
+import argparse
+import json
+import os
+import typing
+
+import numpy as np
+import scipy.ndimage
+
+from . import io as audio_io
+from . import vad as vad_module
+from ..data import transcripts
+
+
+def rle1d(x: np.ndarray):
+    """Run-length encode a 1-D array -> (starts, lengths, values)
+    (spec: models.py:777-785)."""
+    x = np.asarray(x)
+    assert x.ndim == 1
+    if x.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), x
+    boundaries = np.concatenate([[0], np.nonzero(x[1:] != x[:-1])[0] + 1, [len(x)]])
+    starts = boundaries[:-1]
+    lengths = boundaries[1:] - boundaries[:-1]
+    return starts, lengths, x[starts]
+
+
+def _maxpool(x, k):
+    return scipy.ndimage.maximum_filter1d(x, size=max(k, 1), axis=-1, mode='nearest')
+
+
+def _avgpool(x, k):
+    return scipy.ndimage.uniform_filter1d(x.astype(np.float64), size=max(k, 1),
+                                          axis=-1, mode='constant')
+
+
+def convert_speaker_id(speaker_id, to_bipole=False, from_bipole=False):
+    k, b = (1 - 3 / 2, 3 / 2) if from_bipole else (-2, 3) if to_bipole else (None, None)
+    return (speaker_id != 0) * (speaker_id * k + b)
+
+
+def select_speaker(signal: np.ndarray, kernel_size_smooth_silence: int,
+                   kernel_size_smooth_signal: int, kernel_size_smooth_speaker: int,
+                   silence_absolute_threshold: float = 0.2,
+                   silence_relative_threshold: float = 0.5, eps: float = 1e-9,
+                   normalization_percentile: float = 0.9):
+    """Stereo (2, T) signal -> (speaker_id_categorical (T,), masks (3, T)).
+
+    Each channel carries one speaker (call-center recordings): smooth |x|
+    (dilation for the energy difference; dilation+erosion for the silence
+    detector), threshold silence absolutely and relative to a percentile
+    normalizer, then the sign of the smoothed channel-energy difference picks
+    the speaker. Spec: diarization.py:58-99.
+    """
+    signal = np.asarray(signal, dtype=np.float32)
+    assert len(signal) == 2
+    abs_sig = np.abs(signal)
+
+    smoothed_for_diff = _maxpool(abs_sig, kernel_size_smooth_signal)
+    smoothed_for_silence = _maxpool(abs_sig, kernel_size_smooth_silence)           # dilation
+    smoothed_for_silence = -_maxpool(-smoothed_for_silence, kernel_size_smooth_silence)  # erosion
+
+    k = int(normalization_percentile * smoothed_for_diff.shape[-1])
+    signal_max = np.partition(smoothed_for_diff, k - 1, axis=-1)[:, k - 1:k]
+    silence = (smoothed_for_silence < silence_absolute_threshold) | \
+              (smoothed_for_silence / (eps + signal_max) < silence_relative_threshold)
+
+    diff = smoothed_for_diff[0] - smoothed_for_diff[1]
+    speaker_id_bipole = np.sign(diff)
+    speaker_id_bipole = np.sign(_avgpool(speaker_id_bipole, kernel_size_smooth_speaker))
+    # drop 1-sample zero crossings between same-sign runs
+    absavg = _avgpool(np.abs(speaker_id_bipole), 3)
+    rawavg = _avgpool(speaker_id_bipole, 3)
+    speaker_id_bipole = np.where(
+        (speaker_id_bipole == 0) & np.isclose(absavg, 2 / 3) & np.isclose(rawavg, 0),
+        1.0, speaker_id_bipole)
+
+    T = min(silence.shape[-1], speaker_id_bipole.shape[-1])
+    silence, speaker_id_bipole = silence[:, :T], speaker_id_bipole[:T]
+    silence_flat = silence.all(axis=0)
+    speaker_id = (convert_speaker_id(speaker_id_bipole, from_bipole=True)
+                  * ~silence_flat).astype(np.int64)
+    bipole = np.array([1, -1])
+    speaker_mask_ = (~silence) & (speaker_id_bipole[None, :] == bipole[:, None])
+    return speaker_id, np.concatenate([silence_flat[None], speaker_mask_])
+
+
+def speaker_mask(transcript, num_speakers: int, duration: float, sample_rate: int):
+    mask = np.zeros((1 + num_speakers, int(duration * sample_rate)), dtype=bool)
+    for t in transcript:
+        mask[t['speaker'], int(t['begin'] * sample_rate):int(t['end'] * sample_rate)] = True
+    mask[0] = mask[1] & mask[2]
+    return mask
+
+
+def speaker_error(ref, hyp, num_speakers: int, sample_rate: int = 8000,
+                  hyp_speaker_mapping=None, ignore_silence_and_overlapped_speech=True):
+    """Frame-level speaker error with best permutation (spec:
+    diarization.py:175-201). Returns (error, best_permutation)."""
+    assert num_speakers == 2
+    duration = transcripts.compute_duration(dict(ref=ref, hyp=hyp))
+    ref_mask = speaker_mask(ref, num_speakers, duration, sample_rate)
+    hyp_mask_all = speaker_mask(hyp, num_speakers, duration, sample_rate)
+
+    vals = []
+    perms = [[0, 1, 2], [0, 2, 1]] if hyp_speaker_mapping is None else hyp_speaker_mapping
+    for perm in perms:
+        hyp_mask = hyp_mask_all[perm]
+        mismatch = (ref_mask[1] != hyp_mask[1]) | (ref_mask[2] != hyp_mask[2])
+        if ignore_silence_and_overlapped_speech:
+            silence_or_overlap = ref_mask[1] == ref_mask[2]
+            mismatch = mismatch[~silence_or_overlap]
+        vals.append((float(mismatch.mean()) if mismatch.size else 0.0, perm))
+    return min(vals)
+
+
+def der(ref_transcript, hyp_transcript, sample_rate: int = 100) -> float:
+    """Diarization error rate = (miss + false alarm + confusion) / ref speech,
+    with the best speaker permutation (native replacement of
+    pyannote.metrics, diarization.py:163-166)."""
+    duration = transcripts.compute_duration(dict(ref=ref_transcript, hyp=hyp_transcript))
+    ref_mask = speaker_mask(ref_transcript, 2, duration, sample_rate)
+    hyp_mask_all = speaker_mask(hyp_transcript, 2, duration, sample_rate)
+    best = None
+    for perm in [[0, 1, 2], [0, 2, 1]]:
+        hyp_mask = hyp_mask_all[perm]
+        confusion = ((hyp_mask[1] & ref_mask[2] & ~ref_mask[1]) |
+                     (hyp_mask[2] & ref_mask[1] & ~ref_mask[2])).sum()
+        false_alarm = ((hyp_mask[1] | hyp_mask[2]) & ~ref_mask[1] & ~ref_mask[2]).sum()
+        miss = (~hyp_mask[1] & ~hyp_mask[2] & (ref_mask[1] | ref_mask[2])).sum()
+        total = (ref_mask[1] | ref_mask[2]).sum()
+        err = (confusion + false_alarm + miss) / max(total, 1)
+        best = err if best is None else min(best, err)
+    return float(best)
+
+
+def sad_transcript(signal: np.ndarray, sample_rate: int, window_size: float = 0.02,
+                   aggressiveness: int = 1, extra: dict = {}):
+    """Per-channel speech-activity segments (spec: WebrtcSpeechActivityDetection
+    diarization.py:24-33; uses the in-repo VAD when webrtcvad is absent)."""
+    speech = vad_module.detect_speech(signal, sample_rate, window_size,
+                                      aggressiveness=aggressiveness)
+    transcript = []
+    for channel in range(len(speech)):
+        starts, lengths, values = rle1d(speech[channel])
+        for begin, length, value in zip(starts, lengths, values):
+            if value:
+                transcript.append(dict(
+                    begin=float(begin) / sample_rate,
+                    end=float(begin + length) / sample_rate,
+                    speaker=1 + channel,
+                    speaker_name=transcripts.default_speaker_names[1 + channel], **extra))
+    return transcript
+
+
+# ------------------------------ CLIs ------------------------------
+
+def cmd_ref(input_path, output_path, sample_rate, window_size, max_duration,
+            debug_audio, html, ext):
+    os.makedirs(output_path, exist_ok=True)
+    sources = ([(input_path, n) for n in os.listdir(input_path)]
+               if os.path.isdir(input_path)
+               else [(os.path.dirname(input_path), os.path.basename(input_path))])
+    for i, (dirname, audio_name) in enumerate(sources):
+        print(i, '/', len(sources), audio_name)
+        audio_path = os.path.join(dirname, audio_name)
+        noext = audio_name[:-len(ext)] if ext and audio_name.endswith(ext) else audio_name
+        signal, sr = audio_io.read_audio(audio_path, sample_rate=sample_rate,
+                                         mono=False, duration=max_duration)
+        speaker_id, masks = select_speaker(
+            signal, silence_absolute_threshold=0.05, silence_relative_threshold=0.2,
+            kernel_size_smooth_signal=128, kernel_size_smooth_speaker=4096,
+            kernel_size_smooth_silence=4096)
+        transcript = []
+        for speaker in range(1, len(masks)):
+            starts, lengths, values = rle1d(masks[speaker])
+            transcript.extend(dict(audio_path=audio_path, begin=float(b) / sr,
+                                   end=float(b + l) / sr, speaker=speaker,
+                                   speaker_name=transcripts.default_speaker_names[speaker])
+                              for b, l, v in zip(starts, lengths, values) if v)
+        transcript = [t for t in transcript if t['speaker'] != transcripts.speaker_missing]
+        for out_ext in ['.json', '.rttm']:
+            path = os.path.join(output_path, noext + out_ext)
+            transcripts.save(path, transcript)
+            print(path)
+        if html:
+            from ..vis import report as vis
+            vis.transcript(os.path.join(output_path, audio_name + '.html'),
+                           sr, True, transcript, duration=max_duration)
+
+
+def cmd_hyp(input_path, output_path, sample_rate, window_size, max_duration, html, ext):
+    """SAD-based hypothesis diarization (in-repo VAD; the reference used an
+    external pyannote pipeline here, diarization.py:137-161)."""
+    os.makedirs(output_path, exist_ok=True)
+    sources = ([(input_path, n) for n in os.listdir(input_path)]
+               if os.path.isdir(input_path)
+               else [(os.path.dirname(input_path), os.path.basename(input_path))])
+    for i, (dirname, audio_name) in enumerate(sources):
+        print(i, '/', len(sources), audio_name)
+        audio_path = os.path.join(dirname, audio_name)
+        noext = audio_name[:-len(ext)] if ext and audio_name.endswith(ext) else audio_name
+        signal, sr = audio_io.read_audio(audio_path, sample_rate=sample_rate,
+                                         mono=False, duration=max_duration)
+        transcript = sad_transcript(signal, sr, window_size,
+                                    extra=dict(audio_path=audio_path))
+        transcripts.collect_speaker_names(transcript, set_speaker_data=True)
+        for out_ext in ['.json', '.rttm']:
+            path = os.path.join(output_path, noext + out_ext)
+            transcripts.save(path, transcript)
+            print(path)
+
+
+def cmd_eval(ref, hyp, html, debug_audio, sample_rate=100):
+    if os.path.isfile(ref) and os.path.isfile(hyp):
+        print(der(transcripts.load(ref), transcripts.load(hyp), sample_rate))
+        return
+    errs, results = [], []
+    for rttm in os.listdir(ref):
+        if not rttm.endswith('.rttm'):
+            continue
+        ref_t, hyp_t = transcripts.load(os.path.join(ref, rttm)), \
+            transcripts.load(os.path.join(hyp, rttm))
+        ser_err, perm = speaker_error(ref=ref_t, hyp=hyp_t, num_speakers=2,
+                                      sample_rate=sample_rate,
+                                      ignore_silence_and_overlapped_speech=True)
+        der_err, _ = speaker_error(ref=ref_t, hyp=hyp_t, num_speakers=2,
+                                   sample_rate=sample_rate,
+                                   ignore_silence_and_overlapped_speech=False)
+        errs.append(dict(ser=ser_err, der=der_err))
+        results.append(dict(rttm=rttm, **errs[-1]))
+        print(rttm, '{ser:.2f}, {der:.2f}'.format(**errs[-1]))
+    if errs:
+        print('===')
+        print({k: sum(e[k] for e in errs) / len(errs) for k in errs[0]})
+    return results
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest='cmd', required=True)
+    c = sub.add_parser('ref')
+    c.add_argument('--input-path', '-i', required=True)
+    c.add_argument('--output-path', '-o', required=True)
+    c.add_argument('--sample-rate', type=int, default=8000)
+    c.add_argument('--window-size', type=float, default=0.02)
+    c.add_argument('--max-duration', type=float)
+    c.add_argument('--audio', dest='debug_audio', action='store_true')
+    c.add_argument('--html', action='store_true')
+    c.add_argument('--ext', default='.mp3')
+    c.set_defaults(func=cmd_ref)
+    c = sub.add_parser('hyp')
+    c.add_argument('--input-path', '-i', required=True)
+    c.add_argument('--output-path', '-o', required=True)
+    c.add_argument('--sample-rate', type=int, default=16000)
+    c.add_argument('--window-size', type=float, default=0.02)
+    c.add_argument('--max-duration', type=float)
+    c.add_argument('--html', action='store_true')
+    c.add_argument('--ext', default='.mp3.wav')
+    c.set_defaults(func=cmd_hyp)
+    c = sub.add_parser('eval')
+    c.add_argument('--ref', required=True)
+    c.add_argument('--hyp', required=True)
+    c.add_argument('--html', default='data/diarization.html')
+    c.add_argument('--audio', dest='debug_audio', action='store_true')
+    c.set_defaults(func=cmd_eval)
+    return parser
+
+
+def main(argv=None):
+    args = vars(build_parser().parse_args(argv))
+    args.pop('cmd')
+    func = args.pop('func')
+    func(**args)
+
+
+if __name__ == '__main__':
+    main()

@@ -109,6 +109,34 @@ def main(args, ext_json=('.json', '.json.gz')):
                   if exclude is None or os.path.basename(p) not in exclude]
 
     text_pipeline, frontend, model, forward, generator = setup(args)
+
+    if args.vad is not None:
+        # VAD-chunked long-audio pipeline: segment each audio file by speech
+        # activity, write a synthetic transcript json, and feed the segments
+        # through the normal batched_transcript path (BASELINE.json config 5;
+        # the reference left this as scaffolding, vad.py + transcribe.py:1-2)
+        from ..audio.vad import detect_speech, mask_to_segments, postprocess_cut, \
+            postprocess_batching
+        vad_dir = os.path.join(args.output_path, 'vad_segments')
+        os.makedirs(vad_dir, exist_ok=True)
+        chunked_paths = []
+        for path in data_paths:
+            if not any(path.endswith(e) for e in args.ext):
+                chunked_paths.append(path)
+                continue
+            signal, sr = audio_io.read_audio(path, sample_rate=args.sample_rate, mono=True)
+            mask = detect_speech(signal, sr, window_size=0.02, aggressiveness=args.vad)
+            segments = postprocess_batching(
+                postprocess_cut(mask_to_segments(mask[0], sr)),
+                max_duration=args.max_segment_duration or 20.0)
+            entries = [dict(audio_path=path, ref='', begin=b, end=e)
+                       for b, e in segments] or [dict(audio_path=path, ref='')]
+            seg_json = os.path.join(vad_dir, os.path.basename(path) + '.json')
+            with open(seg_json, 'w') as f:
+                json.dump(entries, f, ensure_ascii=False)
+            chunked_paths.append(seg_json)
+        data_paths = chunked_paths
+
     dataset = AudioTextDataset(
         data_paths, [text_pipeline], args.sample_rate, frontend=None, mono=args.mono,
         time_padding_multiple=args.batch_time_padding_multiple,
@@ -142,8 +170,15 @@ def main(args, ext_json=('.json', '.json.gz')):
         speaker_name = [t.get('speaker_name') for t in meta]
         duration = x.shape[-1] / args.sample_rate
 
-        log_probs, logits, olen = forward(jnp.asarray(x[:, 0, :]), jnp.asarray(xlen))
-        log_probs, logits, olen = map(np.asarray, (log_probs, logits, olen))
+        try:
+            log_probs, logits, olen = forward(jnp.asarray(x[:, 0, :]), jnp.asarray(xlen))
+            log_probs, logits, olen = map(np.asarray, (log_probs, logits, olen))
+        except Exception as e:  # device OOM etc. — skip the batch (spec:
+            # utils.OomHandler / transcribe.py:196-202)
+            if 'RESOURCE_EXHAUSTED' in str(e) or 'out of memory' in str(e).lower():
+                print(f'Skipping {i}/{len(dataset)} [{audio_path}] after OOM: {e}')
+                continue
+            raise
         print(f'Processing {i}/{len(dataset)}: {audio_path} '
               f'({duration:.2f}s audio, {time.time() - tic:.2f}s compute)')
 
@@ -286,6 +321,8 @@ def build_parser():
     parser.add_argument('--align-boundary-words', action='store_true')
     parser.add_argument('--align-words', action='store_true')
     parser.add_argument('--max-segment-duration', type=float, default=0.0)
+    parser.add_argument('--vad', type=int, default=None, metavar='AGGRESSIVENESS',
+                        help='segment long audio by voice activity (0-3) before decoding')
     parser.add_argument('--prune-cer', type=transcripts.number_tuple)
     parser.add_argument('--prune-duration', type=transcripts.number_tuple)
     parser.add_argument('--prune-num-speakers', type=transcripts.number_tuple)

@@ -1,0 +1,59 @@
+"""VAD-chunked transcription end-to-end test."""
+import json
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+class TestVadChunkedTranscribe:
+    def test_vad_flag(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from convasr_tpu.audio import write_audio
+        from convasr_tpu.cli.transcribe import build_parser, main
+        from convasr_tpu.frontend.logmel import LogFilterBankFrontend
+        from convasr_tpu.models.zoo import create_model
+        from convasr_tpu.train.checkpoints import save_checkpoint
+        from convasr_tpu.train.loop import TrainState
+
+        sr = 8000
+        frontend = LogFilterBankFrontend(out_channels=16, sample_rate=sr,
+                                         window_size=0.02, window_stride=0.01, dither=0.0)
+        model = create_model('JasperNetSmall', num_input_features=16, num_classes=(38,),
+                             frontend=frontend, base_width=8)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, sr), jnp.float32),
+                               xlen=jnp.ones((1,), jnp.float32))
+        state = TrainState(step=jnp.zeros([], jnp.int32), params=variables['params'],
+                           batch_stats=variables.get('batch_stats', {}), opt_state={})
+        ckpt = str(tmp_path / 'ckpt')
+        save_checkpoint(ckpt, state, args=dict(
+            model='JasperNetSmall', sample_rate=sr, window_size=0.02, window_stride=0.01,
+            window='hann_window', num_input_features=16, base_width=8,
+            text_config=str(ROOT / 'configs' / 'ru_text_config.json'),
+            text_pipelines=['char_legacy']))
+
+        # speech burst - silence - speech burst
+        rng = np.random.RandomState(0)
+        tone = 0.5 * np.sin(2 * np.pi * 300 * np.arange(sr) / sr)
+        quiet = 0.001 * rng.randn(int(2.5 * sr))  # > merge_gap so bursts stay separate
+        sig = np.concatenate([tone, quiet, tone]).astype(np.float32)[None, :]
+        wav = str(tmp_path / 'long.wav')
+        write_audio(wav, sig, sr)
+
+        out_dir = str(tmp_path / 'out')
+        args = build_parser().parse_args([
+            '--checkpoint', ckpt, '-i', wav, '-o', out_dir, '--output-json',
+            '--mono', '--bf16', 'false', '--vad', '1'])
+        main(args)
+        # VAD segment json written and transcription produced per segment
+        seg_json = os.path.join(out_dir, 'vad_segments', 'long.wav.json')
+        assert os.path.exists(seg_json)
+        segments = json.load(open(seg_json))
+        assert len(segments) == 2  # two speech bursts
+        outputs = [f for f in os.listdir(out_dir) if f.endswith('.json.json')
+                   or (f.endswith('.json') and f != 'transcripts.csv')]
+        assert outputs

@@ -246,12 +246,11 @@ ctc_loss_pallas.defvjp(_fwd, _bwd)
 
 def ctc_loss_auto(log_probs, targets, input_lengths, target_lengths, blank=None,
                   interpret=False):
-    """Pallas CTC on TPU when the working set fits VMEM, else the lax.scan
-    version (also the CPU-test path)."""
-    B, T, _ = log_probs.shape
-    L = targets.shape[1]
+    """Pallas CTC on TPU (v2 time-chunked kernel — no T/VMEM cap), lax.scan
+    on other backends (also the CPU-test path)."""
     on_tpu = jax.default_backend() == 'tpu'
-    if (on_tpu or interpret) and vmem_fits(B, T, L):
-        return ctc_loss_pallas(log_probs, targets, input_lengths, target_lengths,
-                               blank, interpret)
+    if on_tpu or interpret:
+        from .ctc_pallas_v2 import ctc_loss_pallas_v2
+        return ctc_loss_pallas_v2(log_probs, targets, input_lengths, target_lengths,
+                                  blank, interpret)
     return ctc_loss_scan(log_probs, targets, input_lengths, target_lengths, blank=blank)

@@ -88,7 +88,17 @@ def setup(args):
         return out['log_probs'][0], out['logits'][0], out['olen'][0]
 
     generator = GreedyCTCGenerator(blank_amount_to_space=args.replace_blank_series)
-    return text_pipeline, frontend, model, forward, generator
+    decoder = None
+    if getattr(args, 'decoder', 'GreedyDecoder') == 'BeamSearchDecoder':
+        # NOTE: the reference parses the beam flags but transcribe.py never
+        # instantiates the decoder (transcribe.py:323-328 vs main); here the
+        # native beam search + optional ARPA LM is actually wired in
+        from ..decode.beam import BeamSearchDecoder
+        decoder = BeamSearchDecoder(
+            text_pipeline.tokenizer, lm_path=args.lm, beam_width=args.beam_width,
+            beam_alpha=args.beam_alpha, beam_beta=args.beam_beta,
+            topk=args.decoder_topk)
+    return text_pipeline, frontend, model, forward, generator, decoder
 
 
 def main(args, ext_json=('.json', '.json.gz')):
@@ -108,7 +118,7 @@ def main(args, ext_json=('.json', '.json.gz')):
     data_paths = [p for p in data_paths
                   if exclude is None or os.path.basename(p) not in exclude]
 
-    text_pipeline, frontend, model, forward, generator = setup(args)
+    text_pipeline, frontend, model, forward, generator, decoder = setup(args)
 
     if args.vad is not None:
         # VAD-chunked long-audio pipeline: segment each audio file by speech
@@ -191,10 +201,21 @@ def main(args, ext_json=('.json', '.json.gz')):
                               ref=text_pipeline.postprocess(
                                   text_pipeline.preprocess(meta[k]['ref'])))]
                         for k in range(len(meta))]
-        hyp_segments = [alts[0] for alts in generator.generate(
-            tokenizer=text_pipeline.tokenizer, log_probs=log_probs, begin=begin, end=end,
-            output_lengths=olen, time_stamps=ts, segment_text_key='hyp',
-            segment_extra_info=extra)]
+        if decoder is not None:
+            # beam-search path: per-utterance token sequences -> one segment
+            # per utterance spanning its [begin, end]
+            decoded = decoder.decode(log_probs, output_lengths=olen)
+            hyp_segments = []
+            for k, tokens in enumerate(decoded):
+                tokens = tokens if args.decoder_topk == 1 else tokens[0]
+                text = text_pipeline.decode([tokens])[0]
+                hyp_segments.append([transcripts.Segment(
+                    begin=float(begin[k]), end=float(end[k]), hyp=text, **extra[k])])
+        else:
+            hyp_segments = [alts[0] for alts in generator.generate(
+                tokenizer=text_pipeline.tokenizer, log_probs=log_probs, begin=begin,
+                end=end, output_lengths=olen, time_stamps=ts, segment_text_key='hyp',
+                segment_extra_info=extra)]
         hyp_segments = [transcripts.map_text(text_pipeline.postprocess, hyp=h)
                         for h in hyp_segments]
         hyp = '\n'.join(transcripts.join(hyp=h) for h in hyp_segments).strip()

@@ -94,7 +94,7 @@ def make_client_stub(channel):
 
 def main(args):
     from ..cli import transcribe as transcribe_cli
-    text_pipeline, frontend, model, forward, generator = transcribe_cli.setup(args)
+    text_pipeline, frontend, model, forward, generator, _ = transcribe_cli.setup(args)
     servicer = SpeechServicer(text_pipeline, frontend, forward, generator)
     server = make_server(servicer, args.endpoint, args.num_workers)
     print('Serving google-cloud-speech API @', args.endpoint)

@@ -18,3 +18,32 @@ docstrings as `file:line`.
 """
 
 __version__ = '0.1.0'
+
+# Public API (lazy imports keep `import convasr_tpu` light: no jax/flax until
+# a device-side component is touched).
+_SUBMODULES = {
+    'audio': 'convasr_tpu.audio',
+    'frontend': 'convasr_tpu.frontend',
+    'text': 'convasr_tpu.text',
+    'data': 'convasr_tpu.data',
+    'models': 'convasr_tpu.models',
+    'ops': 'convasr_tpu.ops',
+    'decode': 'convasr_tpu.decode',
+    'train': 'convasr_tpu.train',
+    'parallel': 'convasr_tpu.parallel',
+    'metrics': 'convasr_tpu.metrics',
+    'infra': 'convasr_tpu.infra',
+    'serve': 'convasr_tpu.serve',
+    'vis': 'convasr_tpu.vis',
+    'tools': 'convasr_tpu.tools',
+    'cli': 'convasr_tpu.cli',
+}
+
+
+def __getattr__(name):
+    if name in _SUBMODULES:
+        import importlib
+        module = importlib.import_module(_SUBMODULES[name])
+        globals()[name] = module
+        return module
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

@@ -80,6 +80,21 @@ class ArpaLM:
         return NEG_INF
 
 
+def collapse_blanks(log_probs: np.ndarray, blank_id: int,
+                    threshold: float = 0.999) -> np.ndarray:
+    """Blank-collapse emission compression (Blank Collapse, arXiv:2210.17017):
+    drop frames whose blank probability exceeds `threshold`, keeping ONE frame
+    of each dropped run so repeated characters stay separated. Beam search
+    cost scales with T, so long silences get decoded nearly for free."""
+    log_probs = np.asarray(log_probs)
+    blank_lp = log_probs[:, blank_id]
+    collapsible = blank_lp > math.log(threshold)
+    keep = ~collapsible
+    run_start = collapsible & np.concatenate([[True], ~collapsible[:-1]])
+    keep |= run_start
+    return log_probs[keep]
+
+
 def prefix_beam_search(log_probs: np.ndarray, blank_id: int, beam_width: int = 16,
                        labels: typing.Optional[typing.Sequence[str]] = None,
                        lm: typing.Optional[ArpaLM] = None, alpha: float = 0.0,
@@ -233,7 +248,9 @@ class BeamSearchDecoder:
     def __init__(self, tokenizer, lm_path: typing.Optional[str] = None,
                  beam_width: int = 128, beam_alpha: float = 0.0,
                  beam_beta: float = 0.0, cutoff_top_n: typing.Optional[int] = 40,
-                 cutoff_prob: float = 1.0, num_workers: int = 1, topk: int = 1):
+                 cutoff_prob: float = 1.0, num_workers: int = 1, topk: int = 1,
+                 blank_collapse_threshold: typing.Optional[float] = 0.999):
+        self.blank_collapse_threshold = blank_collapse_threshold
         self.tokenizer = tokenizer
         self.labels = [str(l).lower() for l in tokenizer.vocab]
         self.blank_id = tokenizer.eps_id
@@ -260,6 +277,9 @@ class BeamSearchDecoder:
         lp = np.ascontiguousarray(np.asarray(log_probs, np.float32))
         if length is not None:
             lp = lp[:int(length)]
+        if self.blank_collapse_threshold is not None:
+            lp = np.ascontiguousarray(
+                collapse_blanks(lp, self.blank_id, self.blank_collapse_threshold))
         T, C = lp.shape
         if self.handle is not None:
             max_len = T + 1

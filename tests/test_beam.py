@@ -160,6 +160,38 @@ class TestNativeParity:
         assert all(isinstance(o, list) for o in out)
 
 
+class TestBlankCollapse:
+    def test_drops_confident_blank_runs(self):
+        from convasr_tpu.decode.beam import collapse_blanks
+        C, blank = 4, 3
+        frames = []
+        for kind in ['a', 'blank'] * 3 + ['blank'] * 20:
+            p = np.full(C, 0.0001)
+            p[0 if kind == 'a' else blank] = 1 - 0.0001 * (C - 1)
+            frames.append(p)
+        lp = softlog(np.stack(frames))
+        out = collapse_blanks(lp, blank)
+        assert out.shape[0] < lp.shape[0]
+        # 3 'a' frames + exactly one keeper per blank run (3 runs)
+        assert out.shape[0] == 6
+
+    def test_decode_equivalent(self):
+        tok = CharTokenizer('аб')
+        rng = np.random.RandomState(5)
+        # peaky distribution with long blank tails (realistic CTC output)
+        T, C = 40, tok.vocab_size
+        probs = np.full((T, C), 0.001)
+        chars = [0, tok.eps_id, tok.eps_id, 1] + [tok.eps_id] * 30 + [0] * 2 + [tok.eps_id] * 4
+        for t, c in enumerate(chars):
+            probs[t, c] = 0.99
+        lp = softlog(probs)
+        full = BeamSearchDecoder(tok, beam_width=16,
+                                 blank_collapse_threshold=None).decode_one(lp)
+        collapsed = BeamSearchDecoder(tok, beam_width=16,
+                                      blank_collapse_threshold=0.999).decode_one(lp)
+        assert full[0][0] == collapsed[0][0]
+
+
 class TestGreedyDecoder:
     def test_decode(self):
         lp = np.zeros((1, 4, 3), np.float32)

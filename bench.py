@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main():
+    from convasr_tpu.infra.utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from convasr_tpu.frontend.logmel import LogFilterBankFrontend

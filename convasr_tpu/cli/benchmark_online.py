@@ -13,6 +13,8 @@ import numpy as np
 
 
 def main(args):
+    from ..infra.utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from ..frontend.logmel import LogFilterBankFrontend

@@ -176,6 +176,8 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
 
 
 def main(args):
+    from ..infra.utils import enable_compilation_cache
+    enable_compilation_cache()
     args = expand_experiment_id(args)
     os.makedirs(args.experiment_dir, exist_ok=True)
     logger = setup_logging(os.path.join(args.experiment_dir, 'log.txt'))

@@ -102,6 +102,8 @@ def setup(args):
 
 
 def main(args, ext_json=('.json', '.json.gz')):
+    from ..infra.utils import enable_compilation_cache
+    enable_compilation_cache()
     assert args.output_json or args.output_html or args.output_txt or args.output_csv, \
         'at least one output format must be requested'
     os.makedirs(args.output_path, exist_ok=True)

@@ -43,6 +43,21 @@ def setup_logging(log_file_path=None, mode='a', level=logging.INFO, rank=0):
     return logger
 
 
+def enable_compilation_cache(cache_dir: str = None):
+    """Persistent XLA compilation cache — JasperNetBig compiles take tens of
+    seconds; cache them across processes (the TPU analogue of
+    cudnn.benchmark warmup amortization, benchmark.py:140)."""
+    import jax
+    cache_dir = cache_dir or os.path.expanduser('~/.cache/convasr_tpu/xla')
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+    return cache_dir
+
+
 class Timer:
     def __enter__(self):
         self.begin = time.perf_counter()

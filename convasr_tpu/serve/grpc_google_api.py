@@ -93,6 +93,8 @@ def make_client_stub(channel):
 
 
 def main(args):
+    from ..infra.utils import enable_compilation_cache
+    enable_compilation_cache()
     from ..cli import transcribe as transcribe_cli
     text_pipeline, frontend, model, forward, generator, _ = transcribe_cli.setup(args)
     servicer = SpeechServicer(text_pipeline, frontend, forward, generator)

@@ -99,10 +99,12 @@ def build_error_analyzer(args):
                          postprocessors=postprocessors)
 
 
-def batches_from_sampler(dataset, sampler, rank=0, world_size=1):
-    for batch_indices in (sampler.shard(rank) if world_size > 1 else iter(sampler)):
-        items = [dataset[i] for i in batch_indices]
-        yield dataset.collate_fn(items)
+def batches_from_sampler(dataset, sampler, rank=0, world_size=1, num_workers=0,
+                         timeout=None):
+    from ..data.loader import PrefetchLoader
+    batch_iter = sampler.shard(rank) if world_size > 1 else iter(sampler)
+    yield from PrefetchLoader(dataset, batch_iter, num_workers=num_workers,
+                              timeout=timeout)
 
 
 def to_device_batch(meta_s_x, mesh=None):
@@ -264,7 +266,9 @@ def main(args):
     for epoch in range(epoch_start, args.epochs):
         sampler.set_epoch(epoch)
         for meta, batch in (to_device_batch(b, mesh) for b in
-                            batches_from_sampler(train_dataset, sampler)):
+                            batches_from_sampler(train_dataset, sampler,
+                                                 num_workers=args.num_workers,
+                                                 timeout=args.timeout or None)):
             data_time = time.time() - toc
             key = jax.random.fold_in(jax.random.PRNGKey(args.seed), iteration)
             if mesh is not None:
@@ -359,6 +363,10 @@ def build_parser():
     parser.add_argument('--train-batch-size', type=int, default=64)
     parser.add_argument('--val-batch-size', type=int, default=64)
     parser.add_argument('--train-batch-accumulate-iterations', type=int, default=1)
+    parser.add_argument('--num-workers', type=int, default=4,
+                        help='audio-decode prefetch threads (0 = synchronous)')
+    parser.add_argument('--timeout', type=float, default=0.0,
+                        help='per-batch dataloader watchdog seconds (0 = off)')
     parser.add_argument('--log-iteration-interval', type=int, default=100)
     parser.add_argument('--val-iteration-interval', type=int, default=2500)
     parser.add_argument('--seed', type=int, default=1)

@@ -125,6 +125,18 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
     results = {}
     for name, dataset in val_datasets.items():
         _print(f'{name}@{iteration}: examples: {len(dataset)}')
+        if getattr(args, 'adapt_bn', False):
+            # re-estimate BN running stats on this val set before decoding
+            # (spec: --adapt-bn, train.py:182-186)
+            from ..train.loop import make_bn_adapt_step, reset_bn_stats
+            adapt = jax.jit(make_bn_adapt_step(model))
+            stats = reset_bn_stats(state.batch_stats)
+            for start in range(0, len(dataset), args.val_batch_size):
+                items = [dataset[i] for i in range(start, min(start + args.val_batch_size,
+                                                              len(dataset)))]
+                _, b = to_device_batch(dataset.collate_fn(items))
+                stats = adapt(state.params, stats, b)
+            state = state.replace(batch_stats=stats)
         tic = time.time()
         analyzed = []
         for start in range(0, len(dataset), args.val_batch_size):
@@ -374,6 +386,8 @@ def build_parser():
                         type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
     parser.add_argument('--dropout', type=float, default=None)
     parser.add_argument('--bpe-only', action='store_true')
+    parser.add_argument('--adapt-bn', action='store_true',
+                        help='re-estimate BN running stats on each val set before decoding')
     parser.add_argument('--replace-blank-series', type=int, default=8)
     parser.add_argument('--output-json', action='store_true')
     parser.add_argument('--output-csv', action='store_true')

@@ -118,6 +118,26 @@ def make_eval_step(model, bpe_only: bool = False):
     return eval_step
 
 
+def reset_bn_stats(batch_stats):
+    """Zero means / unit vars (spec: models.py:726-733 reset_bn_running_stats_)."""
+    def leaf(path, a):
+        name = jax.tree_util.keystr(path)
+        return jnp.zeros_like(a) if 'mean' in name else jnp.ones_like(a)
+    return jax.tree_util.tree_map_with_path(leaf, batch_stats)
+
+
+def make_bn_adapt_step(model):
+    """One forward in train mode that only refreshes BN running stats
+    (spec: --adapt-bn, train.py:182-186)."""
+    def adapt_step(params, batch_stats, batch):
+        _, mutated = model.apply({'params': params, 'batch_stats': batch_stats},
+                                 batch['x'], xlen=batch['xlen'], training=True,
+                                 mutable=['batch_stats'],
+                                 rngs={'dropout': jax.random.PRNGKey(0)})
+        return mutated['batch_stats']
+    return adapt_step
+
+
 def init_train_state(model, optimizer, example_batch, rng) -> TrainState:
     variables = model.init(rng, example_batch['x'], xlen=example_batch['xlen'])
     params = variables['params']

@@ -99,6 +99,40 @@ def build_error_analyzer(args):
                          postprocessors=postprocessors)
 
 
+class TensorboardSink:
+    """Optional tensorboard writer (spec: train.py:60-117, 712-720); no-op
+    when tensorboard isn't installed or --tensorboard not set."""
+
+    def __init__(self, log_dir=None):
+        self.writer = None
+        if log_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.writer = SummaryWriter(log_dir)
+            except ImportError:
+                logging.getLogger('convasr_tpu.train').warning(
+                    'tensorboard not available; skipping tensorboard sink')
+
+    def train_stats(self, iteration, metrics: dict, lr: float = None):
+        if self.writer is None:
+            return
+        for k, v in metrics.items():
+            self.writer.add_scalar(f'train/{k}', v, iteration)
+        if lr is not None:
+            self.writer.add_scalar('train/lr', lr, iteration)
+
+    def val_stats(self, iteration, dataset_name, stats: dict):
+        if self.writer is None:
+            return
+        for k, v in stats.items():
+            if isinstance(v, (int, float)):
+                self.writer.add_scalar(f'val_{dataset_name}/{k}', v, iteration)
+
+    def flush(self):
+        if self.writer is not None:
+            self.writer.flush()
+
+
 def batches_from_sampler(dataset, sampler, rank=0, world_size=1, num_workers=0,
                          timeout=None):
     from ..data.loader import PrefetchLoader
@@ -118,7 +152,8 @@ def to_device_batch(meta_s_x, mesh=None):
 
 
 def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
-                   error_analyzer, epoch=0, iteration=0, training=False):
+                   error_analyzer, epoch=0, iteration=0, training=False,
+                   tensorboard: 'TensorboardSink' = None):
     """Greedy-decode validation + error analytics (spec: train.py:156-341)."""
     _print = logging.getLogger('convasr_tpu.train').info
     eval_step = jax.jit(make_eval_step(model, bpe_only=args.bpe_only))
@@ -186,6 +221,8 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
         if training:
             perf.update(dict(wer=aggregated['wer'], cer=aggregated['cer'],
                              loss=aggregated['loss']), prefix=f'val_{name}')
+        if tensorboard is not None:
+            tensorboard.val_stats(iteration, name, aggregated)
     return results
 
 
@@ -271,6 +308,8 @@ def main(args):
     else:
         train_step = jax.jit(train_step, donate_argnums=(0,))
 
+    tensorboard = TensorboardSink(
+        os.path.join(args.experiment_dir, 'tensorboard') if args.tensorboard else None)
     perf.init_default()
     iteration = int(jax.device_get(state.step))
     _print(f'start training at epoch {epoch_start} iteration {iteration}')
@@ -295,6 +334,7 @@ def main(args):
                                  grad_norm=m['grad_norm'],
                                  time_ms_data=data_time * 1e3,
                                  time_ms_step=step_time * 1e3), prefix='train')
+                tensorboard.train_stats(iteration, m, lr=float(schedule(iteration)))
                 _print(f'epoch {epoch} iter {iteration} loss {m["loss"]:.4f} '
                        f'entropy {m["entropy"]:.3f} grad_norm {m["grad_norm"]:.3f} '
                        f'data {data_time * 1e3:.0f}ms step {step_time * 1e3:.0f}ms')
@@ -304,7 +344,7 @@ def main(args):
             if args.val_iteration_interval and iteration % args.val_iteration_interval == 0:
                 evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
                                error_analyzer, epoch=epoch, iteration=iteration,
-                               training=True)
+                               training=True, tensorboard=tensorboard)
                 if not args.checkpoint_skip:
                     ckpt_lib.save_checkpoint(
                         ckpt_lib.checkpoint_path(args.experiment_dir, epoch, iteration),
@@ -315,7 +355,8 @@ def main(args):
         else:
             sampler.batch_idx = 0
             evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
-                           error_analyzer, epoch=epoch, iteration=iteration, training=True)
+                           error_analyzer, epoch=epoch, iteration=iteration, training=True,
+                           tensorboard=tensorboard)
             if not args.checkpoint_skip:
                 ckpt_lib.save_checkpoint(
                     ckpt_lib.checkpoint_path(args.experiment_dir, epoch, iteration),
@@ -386,6 +427,8 @@ def build_parser():
                         type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
     parser.add_argument('--dropout', type=float, default=None)
     parser.add_argument('--bpe-only', action='store_true')
+    parser.add_argument('--tensorboard', action='store_true',
+                        help='write tensorboard events under the experiment dir')
     parser.add_argument('--adapt-bn', action='store_true',
                         help='re-estimate BN running stats on each val set before decoding')
     parser.add_argument('--replace-blank-series', type=int, default=8)

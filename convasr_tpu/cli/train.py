@@ -181,6 +181,7 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
             outputs, metrics_dev = eval_step(state.params, state.batch_stats, batch)
             loss = np.asarray(metrics_dev['loss'])
             entropy = np.asarray(metrics_dev['entropy'])
+            uncertainty = np.asarray(metrics_dev['uncertainty'])
             for pi, (pipeline, lp, olen) in enumerate(zip(
                     text_pipelines, outputs['log_probs'], outputs['olen'])):
                 lp, olen = np.asarray(lp), np.asarray(olen)
@@ -197,7 +198,8 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
                         extra=dict(labels_name=pipeline.name,
                                    audio_path=m['audio_path'],
                                    audio_name=transcripts.audio_name(m['audio_path']),
-                                   loss=float(loss[k]), entropy=float(entropy[k]))))
+                                   loss=float(loss[k]), entropy=float(entropy[k]),
+                                   uncertainty=float(uncertainty[k]))))
         aggregated = error_analyzer.aggregate(
             analyzed, defaults=dict(mer_wordwise=-1, hyp_vocabness=-1, ref_vocabness=-1))
         _print(f'{name} | epoch {epoch} iter {iteration} | '

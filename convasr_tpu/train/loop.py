@@ -39,6 +39,25 @@ def entropy(log_probs, lengths=None, dim=-1, eps=1e-9):
     return jnp.sum(e * mask, axis=-1) / (eps + lengths.astype(e.dtype))
 
 
+def weighted_mean_entropy(log_probs, lengths=None, eps=1e-9, eps_id=-1):
+    """Silence-weighted posterior entropy — a CER-correlated uncertainty
+    measure (spec: models.py:660-674). log_probs (B, T, C); eps_id is the
+    blank class (-1 = last)."""
+    prob = jnp.exp(log_probs)
+    e = -jnp.sum(prob * log_probs, axis=-1)          # (B, T)
+    weights = 1.0 - prob[..., eps_id]
+    if lengths is not None:
+        mask = jnp.arange(e.shape[-1])[None, :] < lengths[:, None]
+        weights = weights * mask
+    return jnp.sum(e * weights, axis=-1) / (eps + jnp.sum(weights, axis=-1))
+
+
+def margin(log_probs, axis=-1):
+    """Top-1 minus top-2 posterior probability per frame (spec: models.py:677)."""
+    top2 = jax.lax.top_k(jnp.exp(log_probs), 2)[0]
+    return top2[..., 0] - top2[..., 1]
+
+
 def compute_losses(outputs, y, ylen, bpe_only: bool = False):
     """Per-utterance CTC loss summed over heads, each normalized by the
     FIRST head's target length (spec: models.py:320-325)."""
@@ -114,6 +133,7 @@ def make_eval_step(model, bpe_only: bool = False):
             metrics['loss'] = loss_per_utt
         lp0 = outputs['log_probs'][0]
         metrics['entropy'] = entropy(lp0, outputs['olen'][0])
+        metrics['uncertainty'] = weighted_mean_entropy(lp0, outputs['olen'][0])
         return outputs, metrics
     return eval_step
 

@@ -173,7 +173,7 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
                 stats = adapt(state.params, stats, b)
             state = state.replace(batch_stats=stats)
         tic = time.time()
-        analyzed = []
+        analyze_jobs = []  # (hyp, ref, postprocess, detailed, extra)
         for start in range(0, len(dataset), args.val_batch_size):
             items = [dataset[i] for i in range(start, min(start + args.val_batch_size,
                                                           len(dataset)))]
@@ -191,15 +191,22 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
                     output_lengths=olen, time_stamps=None, segment_text_key='hyp')
                 hyps = [transcripts.join(hyp=alts[0]) for alts in gen]
                 for k, (m, hyp) in enumerate(zip(meta, hyps)):
-                    ref = pipeline.preprocess(m['ref'])
-                    analyzed.append(error_analyzer.analyze(
-                        hyp=hyp, ref=ref, postprocess_fn=pipeline.postprocess,
-                        detailed=args.analyze is not None,
-                        extra=dict(labels_name=pipeline.name,
-                                   audio_path=m['audio_path'],
-                                   audio_name=transcripts.audio_name(m['audio_path']),
-                                   loss=float(loss[k]), entropy=float(entropy[k]),
-                                   uncertainty=float(uncertainty[k]))))
+                    analyze_jobs.append((
+                        hyp, pipeline.preprocess(m['ref']), pipeline.postprocess,
+                        args.analyze is not None,
+                        dict(labels_name=pipeline.name,
+                             audio_path=m['audio_path'],
+                             audio_name=transcripts.audio_name(m['audio_path']),
+                             loss=float(loss[k]), entropy=float(entropy[k]),
+                             uncertainty=float(uncertainty[k]))))
+        # analysis is CPU-bound; optionally fan out to a process pool
+        # (spec: train.py:256-260, --analyze-num-workers)
+        if getattr(args, 'analyze_num_workers', 0) > 0 and analyze_jobs:
+            import multiprocessing.pool
+            with multiprocessing.pool.Pool(args.analyze_num_workers) as pool:
+                analyzed = pool.starmap(error_analyzer.analyze, analyze_jobs)
+        else:
+            analyzed = [error_analyzer.analyze(*job) for job in analyze_jobs]
         aggregated = error_analyzer.aggregate(
             analyzed, defaults=dict(mer_wordwise=-1, hyp_vocabness=-1, ref_vocabness=-1))
         _print(f'{name} | epoch {epoch} iter {iteration} | '
@@ -396,6 +403,7 @@ def build_parser():
     parser.add_argument('--vocab', default='data/vocab_word_list.txt')
     parser.add_argument('--lang', default='ru')
     parser.add_argument('--analyze', nargs='*', default=None)
+    parser.add_argument('--analyze-num-workers', type=int, default=0)
     parser.add_argument('--optimizer', default='NovoGrad',
                         choices=['SGD', 'AdamW', 'NovoGrad', 'FusedNovoGrad'])
     parser.add_argument('--lr', type=float, default=1e-2)

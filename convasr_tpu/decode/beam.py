@@ -251,6 +251,7 @@ class BeamSearchDecoder:
                  cutoff_prob: float = 1.0, num_workers: int = 1, topk: int = 1,
                  blank_collapse_threshold: typing.Optional[float] = 0.999):
         self.blank_collapse_threshold = blank_collapse_threshold
+        self.num_workers = num_workers
         self.tokenizer = tokenizer
         self.labels = [str(l).lower() for l in tokenizer.vocab]
         self.blank_id = tokenizer.eps_id
@@ -296,16 +297,27 @@ class BeamSearchDecoder:
                                   cutoff_prob=self.cutoff_prob, topk=self.topk)
 
     def decode(self, log_probs, output_lengths=None):
-        """(B, T, C) -> per-utterance token list (topk=1) or list of lists."""
+        """(B, T, C) -> per-utterance token list (topk=1) or list of lists.
+
+        Utterances decode in parallel across `num_workers` threads — the C++
+        decoder releases the GIL for the duration of the ctypes call (the
+        reference's ctcdecode num_workers equivalent, decoders.py:29)."""
         log_probs = np.asarray(log_probs)
         lengths = output_lengths if output_lengths is not None \
             else [log_probs.shape[1]] * len(log_probs)
-        out = []
-        for b, l in enumerate(lengths):
+
+        def one(b_l):
+            b, l = b_l
             hyps = self.decode_one(log_probs[b], l)
             tokens = [h[0] for h in hyps]
-            out.append(tokens[0] if self.topk == 1 else tokens)
-        return out
+            return tokens[0] if self.topk == 1 else tokens
+
+        work = list(enumerate(lengths))
+        if self.num_workers > 1 and self.handle is not None and len(work) > 1:
+            import concurrent.futures
+            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+                return list(pool.map(one, work))
+        return [one(w) for w in work]
 
     def __del__(self):
         if getattr(self, 'handle', None) and self.lib is not None:

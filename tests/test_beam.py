@@ -159,6 +159,14 @@ class TestNativeParity:
         assert len(out) == 2
         assert all(isinstance(o, list) for o in out)
 
+    def test_threaded_batch_matches_serial(self):
+        tok = CharTokenizer('абв')
+        rng = np.random.RandomState(3)
+        lp = softlog(rng.dirichlet(np.ones(tok.vocab_size), size=(8, 20)))
+        serial = BeamSearchDecoder(tok, beam_width=8, num_workers=1).decode(lp)
+        threaded = BeamSearchDecoder(tok, beam_width=8, num_workers=4).decode(lp)
+        assert serial == threaded
+
 
 class TestBlankCollapse:
     def test_drops_confident_blank_runs(self):

@@ -44,6 +44,27 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
 
 
+def state_shardings(mesh: Mesh, state, min_channels: int = 256):
+    """Per-leaf shardings for a TrainState: wide trailing (channel) dims are
+    sharded over the 'model' axis, everything else replicated.
+
+    This is the optional tensor-parallel layout: JasperNet's wide blocks
+    (512-1024 channels) split across the model axis, GSPMD propagates the
+    activation shardings and inserts the collectives. With model axis size 1
+    everything is replicated (pure data parallelism).
+    """
+    n_model = mesh.shape['model']
+
+    def rule(leaf):
+        shape = getattr(leaf, 'shape', ())
+        if (n_model > 1 and len(shape) >= 1 and shape[-1] >= min_channels
+                and shape[-1] % n_model == 0):
+            return NamedSharding(mesh, P(*([None] * (len(shape) - 1) + ['model'])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, state)
+
+
 def process_local_batch_slice(global_batch_size: int) -> slice:
     """Which rows of the global batch this host feeds (multi-host SPMD)."""
     per_process = global_batch_size // jax.process_count()

@@ -135,6 +135,36 @@ class TestSPMD:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+class TestTensorParallel:
+    def test_tp_sharded_step_matches_replicated(self):
+        """Sharding wide channel dims over the 'model' axis must not change
+        the math — GSPMD inserts the collectives."""
+        from convasr_tpu.parallel.mesh import state_shardings
+        model = tiny_model()
+        rng = np.random.RandomState(7)
+        batch = synth_batch(rng, B=4)
+        optimizer = make_optimizer_with_accum(make_optimizer('sgd', lambda s: 1e-2))
+        state = init_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+        train_step = make_train_step(model, optimizer)
+
+        _, m_ref = jax.jit(train_step)(state, batch, jax.random.PRNGKey(0))
+
+        mesh = make_mesh(n_data=4, n_model=2)
+        repl = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P('data'))
+        ss = state_shardings(mesh, state, min_channels=8)
+        n_sharded = sum(1 for s in jax.tree.leaves(ss)
+                        if s.spec != P())
+        assert n_sharded > 0, 'expected some tensor-parallel leaves'
+        state_tp = jax.tree.map(jax.device_put, state, ss)
+        batch_tp = jax.tree.map(lambda a: jax.device_put(a, shard), batch)
+        step_tp = jax.jit(train_step, in_shardings=(ss, shard, repl),
+                          out_shardings=(ss, repl))
+        _, m_tp = step_tp(state_tp, batch_tp,
+                          jax.device_put(jax.random.PRNGKey(0), repl))
+        np.testing.assert_allclose(float(m_ref['loss']), float(m_tp['loss']), rtol=1e-5)
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import sys, pathlib

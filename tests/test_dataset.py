@@ -109,6 +109,32 @@ class TestAudioTextDataset:
         assert len(transcript) == 2
         assert features[0].shape[-1] == pytest.approx(sr, abs=2)
 
+    def test_batched_channels_mode(self, tmp_path, pipeline):
+        sr = 8000
+        path = str(tmp_path / 'stereo.wav')
+        rng = np.random.RandomState(1)
+        write_audio(path, (0.1 * rng.randn(2, sr)).astype(np.float32), sr)
+        entries = [dict(audio_path=path, ref='привет', begin=0.0, end=0.5,
+                        channel=0, speaker=1),
+                   dict(audio_path=path, ref='мир', begin=0.5, end=1.0,
+                        channel=1, speaker=2)]
+        json_path = str(tmp_path / 's.json')
+        with open(json_path, 'w') as f:
+            json.dump(entries, f, ensure_ascii=False)
+        ds = AudioTextDataset(json_path, [pipeline], sr, mode='batched_channels',
+                              mono=False, duration_from_transcripts=True)
+        assert len(ds) == 1
+        item = ds[0]
+        transcript, speakers, features = item[0], item[1], item[2]
+        # one joined row per channel; spans come from each channel's own
+        # segments (duration_from_transcripts=True)
+        assert len(transcript) == 2
+        spans = sorted(f.shape[-1] for f in features)
+        assert spans[0] == pytest.approx(sr * 0.5, abs=2)
+        assert spans[1] == pytest.approx(sr * 1.0, abs=2)
+        meta, s, x, xlen, y, ylen = ds.collate_fn(item)
+        assert x.shape[0] == 2  # one batch row per channel
+
     def test_bucket_fn(self, corpus, pipeline):
         json_path, sr = corpus
         bucket_fn = frame_count_bucket_fn(window_stride=0.01, time_padding_multiple=128)

@@ -25,6 +25,46 @@ try:
 except ImportError:
     soundfile = None
 
+
+def _native_lib():
+    """ctypes handle to the in-repo C++ wav reader (native/wav_reader.cpp)."""
+    import ctypes
+    from ..native.build import load_library
+    lib = load_library('wav_reader.cpp')
+    if lib is not None and not getattr(lib, '_wav_configured', False):
+        lib.wav_probe.restype = ctypes.c_int
+        lib.wav_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+                                  ctypes.POINTER(ctypes.c_int32),
+                                  ctypes.POINTER(ctypes.c_int64)]
+        lib.wav_read.restype = ctypes.c_int64
+        lib.wav_read.argtypes = [ctypes.c_char_p,
+                                 np.ctypeslib.ndpointer(np.float32, flags='C'),
+                                 ctypes.c_int, ctypes.c_int64, ctypes.c_int64]
+        lib._wav_configured = True
+    return lib
+
+
+def _read_native(audio_path, mono):
+    """C++ wav decode -> (sample_rate, (T, C) float32) matching the scipy
+    backend's layout contract."""
+    import ctypes
+    lib = _native_lib()
+    if lib is None:
+        raise RuntimeError('native wav reader unavailable (no g++)')
+    sr = ctypes.c_int32()
+    channels = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    rc = lib.wav_probe(audio_path.encode(), ctypes.byref(sr), ctypes.byref(channels),
+                       ctypes.byref(frames))
+    if rc != 0:
+        raise RuntimeError(f'native wav probe failed ({rc}) for {audio_path}')
+    out_channels = 1 if mono else channels.value
+    out = np.empty((out_channels, frames.value), dtype=np.float32)
+    got = lib.wav_read(audio_path.encode(), out, int(mono), 0, -1)
+    if got < 0:
+        raise RuntimeError(f'native wav read failed ({got}) for {audio_path}')
+    return sr.value, np.ascontiguousarray(out[:, :got].T)
+
 AUDIO_FILE_EXTENSIONS = {'.mp3', '.m4a', '.amr', '.gsm', '.wav', '.mp4', '.opus', '.ogg', '.webm', '.3gp'}
 
 SMAX = np.iinfo(np.int16).max
@@ -67,7 +107,7 @@ def read_audio(audio_path, sample_rate, offset=0, duration=None, mono=True,
                raw_bytes=None, raw_sample_rate=None, raw_num_channels=None):
     """Decode audio to (num_channels, T) at `sample_rate`; returns (signal, sample_rate)."""
     assert dtype in [None, 'int16', 'float32']
-    assert backend in [None, 'scipy', 'soundfile', 'ffmpeg', 'sox']
+    assert backend in [None, 'native', 'scipy', 'soundfile', 'ffmpeg', 'sox']
 
     try:
         if audio_path is None or audio_path.endswith('.raw'):
@@ -76,6 +116,9 @@ def read_audio(audio_path, sample_rate, offset=0, duration=None, mono=True,
                     raw_bytes = f.read()
             sample_rate_ = raw_sample_rate
             signal = np.frombuffer(raw_bytes, dtype=raw_dtype).reshape(-1, raw_num_channels or 1)
+        elif backend == 'native' and audio_path.endswith('.wav'):
+            sample_rate_, signal = _read_native(audio_path, mono)
+            # already float32 (C, T) transposed to (T, C); skip int16 path below
         elif backend in ['scipy', None] and audio_path.endswith('.wav'):
             sample_rate_, signal = scipy.io.wavfile.read(audio_path)
             if signal.ndim == 1:

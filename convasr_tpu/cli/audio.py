@@ -34,7 +34,7 @@ def build_parser():
     c.add_argument('--sample-rate', type=int, default=8000)
     c.add_argument('--mono', action='store_true')
     c.add_argument('--audio-backend', default=None,
-                   choices=[None, 'scipy', 'soundfile', 'sox', 'ffmpeg'])
+                   choices=[None, 'native', 'scipy', 'soundfile', 'sox', 'ffmpeg'])
     c.add_argument('--number', type=int, default=100)
     c.add_argument('--number-warmup', type=int, default=3)
     c.add_argument('--scale', type=int, default=1000)

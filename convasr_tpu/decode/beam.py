@@ -181,31 +181,14 @@ def prefix_beam_search(log_probs: np.ndarray, blank_id: int, beam_width: int = 1
 _lib_cache: dict = {}
 
 
-def _build_native() -> typing.Optional[str]:
-    with open(_NATIVE_SRC, 'rb') as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    cache_dir = os.path.join(tempfile.gettempdir(), 'convasr_tpu_native')
-    os.makedirs(cache_dir, exist_ok=True)
-    lib_path = os.path.join(cache_dir, f'ctc_beam_{digest}.so')
-    if os.path.exists(lib_path):
-        return lib_path
-    try:
-        subprocess.check_call(['g++', '-O3', '-std=c++17', '-shared', '-fPIC',
-                               _NATIVE_SRC, '-o', lib_path + '.tmp'])
-        os.replace(lib_path + '.tmp', lib_path)
-        return lib_path
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        return None
-
-
 def load_native():
     if 'lib' in _lib_cache:
         return _lib_cache['lib']
-    lib_path = _build_native()
-    if lib_path is None:
+    from ..native.build import load_library
+    lib = load_library('ctc_beam.cpp')
+    if lib is None:
         _lib_cache['lib'] = None
         return None
-    lib = ctypes.CDLL(lib_path)
     lib.bsd_create.restype = ctypes.c_void_p
     lib.bsd_create.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
                                ctypes.c_int, ctypes.c_char_p, ctypes.c_float,

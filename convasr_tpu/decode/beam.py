@@ -11,18 +11,12 @@ with g++ into a cached shared library and bound via ctypes. The pure-Python
 fallback when no compiler is available.
 """
 import ctypes
-import hashlib
 import math
-import os
-import subprocess
-import tempfile
 import typing
 
 import numpy as np
 
 NEG_INF = -1e30
-_NATIVE_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           'native', 'ctc_beam.cpp')
 
 
 def _logsumexp(a, b):

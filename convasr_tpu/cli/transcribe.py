@@ -89,7 +89,27 @@ def setup(args):
 
     generator = GreedyCTCGenerator(blank_amount_to_space=args.replace_blank_series)
     decoder = None
-    if getattr(args, 'decoder', 'GreedyDecoder') == 'BeamSearchDecoder':
+    if getattr(args, 'decoder', 'GreedyDecoder') == 'BeamSearchDecoderDevice':
+        # on-device vectorized beam (no LM): hypotheses stay in HBM
+        from ..ops.beam_device import beam_search_device
+
+        class _DeviceBeam:
+            topk = 1
+
+            def decode(self, log_probs, output_lengths=None):
+                import jax.numpy as jnp
+                lengths = output_lengths if output_lengths is not None \
+                    else [log_probs.shape[1]] * len(log_probs)
+                tokens, lens, _ = beam_search_device(
+                    jnp.asarray(log_probs), jnp.asarray(lengths, jnp.int32),
+                    text_pipeline.tokenizer.eps_id, beam_width=args.beam_width,
+                    cutoff_top_n=args.beam_cutoff_top_n,
+                    max_len=int(log_probs.shape[1]) + 1)
+                tokens, lens = np.asarray(tokens), np.asarray(lens)
+                return [tokens[b, 0, :lens[b, 0]].tolist() for b in range(len(tokens))]
+
+        decoder = _DeviceBeam()
+    elif getattr(args, 'decoder', 'GreedyDecoder') == 'BeamSearchDecoder':
         # NOTE: the reference parses the beam flags but transcribe.py never
         # instantiates the decoder (transcribe.py:323-328 vs main); here the
         # native beam search + optional ARPA LM is actually wired in
@@ -333,7 +353,9 @@ def build_parser():
     parser.add_argument('--mono', action='store_true')
     parser.add_argument('--audio-backend', default=None, choices=[None, 'sox', 'ffmpeg'])
     parser.add_argument('--decoder', default='GreedyDecoder',
-                        choices=['GreedyDecoder', 'BeamSearchDecoder'])
+                        choices=['GreedyDecoder', 'BeamSearchDecoder',
+                                 'BeamSearchDecoderDevice'])
+    parser.add_argument('--beam-cutoff-top-n', type=int, default=8)
     parser.add_argument('--decoder-topk', type=int, default=1)
     parser.add_argument('--beam-width', type=int, default=5000)
     parser.add_argument('--beam-alpha', type=float, default=0.3)

@@ -297,5 +297,8 @@ class BeamSearchDecoder:
         return [one(w) for w in work]
 
     def __del__(self):
-        if getattr(self, 'handle', None) and self.lib is not None:
-            self.lib.bsd_free(ctypes.c_void_p(self.handle))
+        try:
+            if getattr(self, 'handle', None) and getattr(self, 'lib', None) is not None:
+                self.lib.bsd_free(ctypes.c_void_p(self.handle))
+        except Exception:
+            pass  # interpreter teardown may have released ctypes already

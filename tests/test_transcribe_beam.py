@@ -50,3 +50,13 @@ class TestTranscribeBeam:
         assert isinstance(segments, list)
         for t in segments:
             assert 'hyp' in t
+
+        # on-device beam variant
+        out_dir2 = str(tmp_path / 'out_device')
+        args = build_parser().parse_args([
+            '--checkpoint', ckpt, '-i', wav, '-o', out_dir2, '--output-json', '--mono',
+            '--bf16', 'false', '--decoder', 'BeamSearchDecoderDevice',
+            '--beam-width', '8'])
+        main(args)
+        segments2 = json.load(open(os.path.join(out_dir2, name + '.json')))
+        assert isinstance(segments2, list)

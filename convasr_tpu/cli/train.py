@@ -232,6 +232,16 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
                              loss=aggregated['loss']), prefix=f'val_{name}')
         if tensorboard is not None:
             tensorboard.val_stats(iteration, name, aggregated)
+        if getattr(args, 'exphtml', False):
+            # experiment-dashboard event + regenerated static page
+            # (spec: exphtml.py:10-47; train.py --exphtml)
+            from ..infra.exphtml import exphtml, expjson
+            expjson(args.experiments_dir, args.experiment_id, epoch=epoch,
+                    iteration=iteration,
+                    columns={f'{name}_cer': aggregated['cer'],
+                             f'{name}_wer': aggregated['wer'],
+                             f'{name}_loss': aggregated['loss']})
+            exphtml(args.experiments_dir)
     return results
 
 
@@ -258,20 +268,30 @@ def main(args):
             bucket_fn=bucket_fn, mono=True, audio_backend=args.audio_backend)
         for path in (args.val_data_path or [])}
 
-    # optimizer + state
+    # optimizer + state (optionally with frozen layers for finetuning,
+    # spec: model.freeze, train.py:584)
     schedule = make_lr_schedule(args)
     base_opt = make_optimizer(args.optimizer, schedule, momentum=args.momentum,
                               weight_decay=args.weight_decay, betas=tuple(args.betas),
                               nesterov=args.nesterov)
-    optimizer = make_optimizer_with_accum(base_opt, max_grad_norm=args.max_norm,
-                                          accumulate_steps=args.train_batch_accumulate_iterations)
-
     example_T = args.sample_rate  # 1 s dummy for init
     example_batch = dict(x=jnp.zeros((1, example_T), jnp.float32),
                          xlen=jnp.ones((1,), jnp.float32),
                          y=jnp.zeros((1, len(text_pipelines), 8), jnp.int64),
                          ylen=jnp.ones((1, len(text_pipelines)), jnp.int64))
-    state = init_train_state(model, optimizer, example_batch, jax.random.PRNGKey(args.seed))
+    variables = model.init(jax.random.PRNGKey(args.seed), example_batch['x'],
+                           xlen=example_batch['xlen'])
+    mask = None
+    if args.freeze_backbone or args.freeze_decoder:
+        from ..train.loop import freeze_mask
+        mask = freeze_mask(variables['params'], freeze_backbone=args.freeze_backbone,
+                           freeze_decoder0=args.freeze_decoder)
+    optimizer = make_optimizer_with_accum(
+        base_opt, max_grad_norm=args.max_norm,
+        accumulate_steps=args.train_batch_accumulate_iterations, trainable_mask=mask)
+    state = TrainState(step=jnp.zeros([], jnp.int32), params=variables['params'],
+                       batch_stats=variables.get('batch_stats', {}),
+                       opt_state=optimizer.init(variables['params']))
     epoch_start, sampler_state = 0, None
     if args.checkpoint:
         payload, meta = ckpt_lib.restore_checkpoint(args.checkpoint) \
@@ -437,6 +457,12 @@ def build_parser():
                         type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
     parser.add_argument('--dropout', type=float, default=None)
     parser.add_argument('--bpe-only', action='store_true')
+    parser.add_argument('--freeze-backbone', type=int, default=0,
+                        help='freeze the first N backbone blocks')
+    parser.add_argument('--freeze-decoder', action='store_true',
+                        help='freeze the char decoder head')
+    parser.add_argument('--exphtml', action='store_true',
+                        help='append experiment-dashboard events + regenerate index.html')
     parser.add_argument('--tensorboard', action='store_true',
                         help='write tensorboard events under the experiment dir')
     parser.add_argument('--adapt-bn', action='store_true',

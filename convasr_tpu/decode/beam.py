@@ -170,6 +170,55 @@ def prefix_beam_search(log_probs: np.ndarray, blank_id: int, beam_width: int = 1
     return out[:topk]
 
 
+def rescore_with_lm(hyps: typing.List[typing.Tuple[typing.List[int], float]],
+                    labels: typing.Sequence[str], lm: 'ArpaLM',
+                    alpha: float, beta: float):
+    """Re-rank (tokens, ctc_score) hypotheses with a word n-gram LM:
+    total = ctc + alpha * sum logP(word|ctx) + beta * num_words.
+
+    The two-stage recipe for the ON-DEVICE beam (ops/beam_device.py): the
+    accelerator produces top-K CTC hypotheses, the host adds LM evidence —
+    K × num_words LM lookups instead of per-frame fusion."""
+    rescored = []
+    for tokens, ctc_score in hyps:
+        text = ''.join(labels[t] for t in tokens)
+        words = text.split()
+        lm_score = 0.0
+        for i in range(len(words)):
+            lm_score += lm.score(words[:i + 1])
+        rescored.append((tokens, ctc_score + alpha * lm_score + beta * len(words)))
+    rescored.sort(key=lambda h: -h[1])
+    return rescored
+
+
+def decode_device_with_lm(log_probs, output_lengths, tokenizer,
+                          lm_path: typing.Optional[str] = None,
+                          alpha: float = 0.5, beta: float = 0.0,
+                          beam_width: int = 16, cutoff_top_n: int = 8):
+    """On-device beam search + host LM rescoring; returns per-utterance token
+    lists (best hypothesis)."""
+    import jax.numpy as jnp
+    from ..ops.beam_device import beam_search_device
+    log_probs = np.asarray(log_probs)
+    lengths = np.asarray(output_lengths if output_lengths is not None
+                         else [log_probs.shape[1]] * len(log_probs))
+    tokens, lens, scores = beam_search_device(
+        jnp.asarray(log_probs), jnp.asarray(lengths, np.int32), tokenizer.eps_id,
+        beam_width=beam_width, cutoff_top_n=cutoff_top_n,
+        max_len=int(log_probs.shape[1]) + 1)
+    tokens, lens, scores = map(np.asarray, (tokens, lens, scores))
+    lm = ArpaLM(lm_path) if lm_path else None
+    labels = [str(l).lower() for l in tokenizer.vocab]
+    out = []
+    for b in range(len(tokens)):
+        hyps = [(tokens[b, k, :lens[b, k]].tolist(), float(scores[b, k]))
+                for k in range(tokens.shape[1])]
+        if lm is not None:
+            hyps = rescore_with_lm(hyps, labels, lm, alpha, beta)
+        out.append(hyps[0][0])
+    return out
+
+
 # ------------------- native library build + binding -------------------
 
 _lib_cache: dict = {}

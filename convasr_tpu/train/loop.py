@@ -69,9 +69,33 @@ def compute_losses(outputs, y, ylen, bpe_only: bool = False):
     return sum(losses[1:]) if bpe_only and len(losses) > 1 else sum(losses)
 
 
+def freeze_mask(params, freeze_backbone: int = 0, freeze_decoder0: bool = False,
+                freeze_frontend: bool = False):
+    """Boolean mask tree: True = trainable (spec: JasperNet.freeze,
+    models.py:328-339 — freeze the first N backbone blocks and/or the char
+    decoder head; the frontend has no trainable params here)."""
+    def rule(path, leaf):
+        name = jax.tree_util.keystr(path)
+        for i in range(freeze_backbone):
+            if f"'block{i}'" in name or f'block{i}/' in name or f'.block{i}.' in name \
+                    or name.startswith(f"['block{i}']"):
+                return False
+        if freeze_decoder0 and 'decoder' in name and 'head0' in name:
+            return False
+        return True
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
 def make_optimizer_with_accum(base_optimizer, max_grad_norm: float = 0.0,
-                              accumulate_steps: int = 1):
+                              accumulate_steps: int = 1, trainable_mask=None):
     tx = base_optimizer
+    if trainable_mask is not None:
+        # frozen params get ZERO updates (spec: requires_grad=False,
+        # models.py:338-339): the optimizer runs on trainable leaves only and
+        # set_to_zero kills the rest
+        frozen_mask = jax.tree.map(lambda t: not t, trainable_mask)
+        tx = optax.chain(optax.masked(tx, trainable_mask),
+                         optax.masked(optax.set_to_zero(), frozen_mask))
     if max_grad_norm and max_grad_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     if accumulate_steps > 1:

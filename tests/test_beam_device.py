@@ -72,6 +72,38 @@ class TestBeamDevice:
         finite = s[np.isfinite(np.maximum(s, -1e29))]
         assert (np.diff(s) <= 1e-5).all()
 
+    def test_lm_rescoring_steers_to_known_word(self, tmp_path):
+        """Device beam + host LM rescoring flips the acoustically-preferred
+        'мип' to the LM-preferred 'мир' (same setup as the C++ fusion test)."""
+        import math
+        from convasr_tpu.decode.beam import decode_device_with_lm
+        from convasr_tpu.text import CharTokenizer
+        from test_beam import ARPA
+        lm_path = str(tmp_path / 'lm.arpa')
+        with open(lm_path, 'w') as f:
+            f.write(ARPA)
+        tok = CharTokenizer('мипр')
+        labels = [s.lower() for s in tok.vocab]
+        m, i, p, r = [labels.index(c) for c in 'мипр']
+        C = tok.vocab_size
+        frames = []
+        for target, alt, pr in [(m, m, 0.95), (i, i, 0.95), (p, r, 0.55)]:
+            probs = np.full(C, 0.001)
+            probs[target] = pr
+            probs[alt] = 1.0 - pr - 0.001 * (C - 2)
+            frames.append(probs)
+        space_frame = np.full(C, 0.001)
+        space_frame[tok.space_id] = 1.0 - 0.001 * (C - 1)
+        frames.append(space_frame)
+        lp = softlog(np.stack(frames))[None]
+
+        decode = lambda toks: ''.join(labels[t] for t in toks).strip()
+        no_lm = decode_device_with_lm(lp, [4], tok, lm_path=None, beam_width=16)
+        with_lm = decode_device_with_lm(lp, [4], tok, lm_path=lm_path,
+                                        alpha=2.0, beta=0.0, beam_width=16)
+        assert decode(no_lm[0]) == 'мип'
+        assert decode(with_lm[0]) == 'мир'
+
     def test_jit_and_batch(self):
         rng = np.random.RandomState(3)
         lp = softlog(rng.dirichlet(np.ones(6), size=(4, 20)))

@@ -182,10 +182,12 @@ def main(args, ext_json=('.json', '.json.gz')):
     csv_sep = dict(tab='\t', comma=',')[args.csv_sep]
     csv_lines = []
 
-    for i in range(len(dataset)):
+    from ..data.loader import prefetch_map
+    items = prefetch_map(dataset.__getitem__, range(len(dataset)),
+                         num_workers=args.num_workers)
+    for i, item in enumerate(items):
         # non-default modes: one example IS one batch (batch_size=None
         # semantics, transcribe.py:102); collate zips the per-segment lists
-        item = dataset[i]
         meta, s, x, xlen, y, ylen = dataset.collate_fn(item)
         meta = [meta_table[t['example_id']] for t in meta]
         audio_path = meta[0]['audio_path']

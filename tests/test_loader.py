@@ -21,6 +21,21 @@ class FakeDataset:
         return np.asarray(items)
 
 
+class TestPrefetchMap:
+    def test_order(self):
+        from convasr_tpu.data.loader import prefetch_map
+        out = list(prefetch_map(lambda x: x * 2, range(10), num_workers=3))
+        assert out == [x * 2 for x in range(10)]
+
+    def test_sync_mode(self):
+        from convasr_tpu.data.loader import prefetch_map
+        assert list(prefetch_map(str, [1, 2], num_workers=0)) == ['1', '2']
+
+    def test_empty(self):
+        from convasr_tpu.data.loader import prefetch_map
+        assert list(prefetch_map(str, [], num_workers=2)) == []
+
+
 class TestPrefetchLoader:
     def test_order_and_content(self):
         ds = FakeDataset()

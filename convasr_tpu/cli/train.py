@@ -248,6 +248,23 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
 def main(args):
     from ..infra.utils import enable_compilation_cache
     enable_compilation_cache()
+    if args.checkpoint and not args.finetune:
+        # model hyper-params come FROM the checkpoint on resume and override
+        # the CLI (spec: train.py:392-394); --finetune keeps the CLI values
+        try:
+            _, ckpt_meta = (ckpt_lib.load_reference_checkpoint(args.checkpoint)
+                            if args.checkpoint.endswith('.pt')
+                            else ckpt_lib.restore_checkpoint(args.checkpoint))
+            ckpt_args = ckpt_meta.get('args', {}) if isinstance(ckpt_meta, dict) else {}
+            if not isinstance(ckpt_args, dict):
+                ckpt_args = vars(ckpt_args)
+            for key in ['model', 'sample_rate', 'window_size', 'window_stride',
+                        'num_input_features']:
+                if ckpt_args.get(key) is not None:
+                    setattr(args, key, ckpt_args[key])
+        except Exception as e:
+            print(f'warning: could not read checkpoint args ({e})')
+
     args = expand_experiment_id(args)
     os.makedirs(args.experiment_dir, exist_ok=True)
     logger = setup_logging(os.path.join(args.experiment_dir, 'log.txt'))
@@ -404,6 +421,8 @@ def build_parser():
     parser.add_argument('--checkpoint', help='resume checkpoint (orbax dir or reference .pt)')
     parser.add_argument('--checkpoint-skip', action='store_true')
     parser.add_argument('--skip-optimizer-reset', action='store_true')
+    parser.add_argument('--finetune', action='store_true',
+                        help='keep CLI hyper-params instead of the checkpoint args')
     parser.add_argument('--model', default='JasperNetBig')
     parser.add_argument('--train-data-path', nargs='*', default=[])
     parser.add_argument('--val-data-path', nargs='*', default=[])

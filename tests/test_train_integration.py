@@ -189,6 +189,29 @@ class TestCheckpoints:
         for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(payload['params'])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_average_checkpoints(self, tmp_path):
+        """Multi-checkpoint weight averaging (spec: train.py:347-353)."""
+        from convasr_tpu.train.checkpoints import average_checkpoints, save_checkpoint
+        model = tiny_model()
+        rng = np.random.RandomState(8)
+        batch = synth_batch(rng)
+        optimizer = make_optimizer_with_accum(make_optimizer('sgd', lambda s: 1e-2))
+        paths = []
+        states = []
+        for seed in [0, 1]:
+            state = init_train_state(model, optimizer, batch, jax.random.PRNGKey(seed))
+            path = str(tmp_path / f'ckpt{seed}')
+            save_checkpoint(path, state)
+            paths.append(path)
+            states.append(state)
+        avg = average_checkpoints(paths)
+        for (pa, a), (_, b), (_, c) in zip(
+                jax.tree_util.tree_leaves_with_path(avg['params']),
+                jax.tree_util.tree_leaves_with_path(jax.device_get(states[0].params)),
+                jax.tree_util.tree_leaves_with_path(jax.device_get(states[1].params))):
+            np.testing.assert_allclose(np.asarray(a), (np.asarray(b) + np.asarray(c)) / 2,
+                                       rtol=1e-6, err_msg=jax.tree_util.keystr(pa))
+
     def test_reference_pt_conversion(self, tmp_path):
         """Synthesize a reference-style torch state_dict, convert, and check
         the flax model accepts it and matches the torch oracle output."""

@@ -396,10 +396,12 @@ def main(args):
                         ckpt_lib.checkpoint_path(args.experiment_dir, epoch, iteration),
                         jax.device_get(state), epoch=epoch,
                         sampler_state=sampler.state_dict(), args=vars(args))
-            if args.iterations and iteration >= args.iterations:
+            if args.dry or (args.iterations and iteration >= args.iterations):
                 break
         else:
             sampler.batch_idx = 0
+            if args.skip_on_epoch_end_evaluation:
+                continue
             evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
                            error_analyzer, epoch=epoch, iteration=iteration, training=True,
                            tensorboard=tensorboard)
@@ -487,6 +489,10 @@ def build_parser():
     parser.add_argument('--adapt-bn', action='store_true',
                         help='re-estimate BN running stats on each val set before decoding')
     parser.add_argument('--replace-blank-series', type=int, default=8)
+    parser.add_argument('--verbose', action='store_true')
+    parser.add_argument('--dry', action='store_true',
+                        help='build everything, run one batch, then exit')
+    parser.add_argument('--skip-on-epoch-end-evaluation', action='store_true')
     parser.add_argument('--output-json', action='store_true')
     parser.add_argument('--output-csv', action='store_true')
     return parser

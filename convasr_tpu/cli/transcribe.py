@@ -323,9 +323,19 @@ def main(args, ext_json=('.json', '.json.gz')):
                 str(max(t['end'] for t in filtered))]))
         if args.logits:
             path = os.path.join(args.output_path, audio_name + '.npz')
-            np.savez(path, **{f'logits_{k}': logits[k, :int(olen[k])]
-                              for k in range(len(logits))},
-                     ref=ref, hyp=hyp, audio_path=audio_path)
+            if args.logits_topk:
+                from ..infra.utils import sparse_topk
+                payload = {}
+                for k in range(len(logits)):
+                    sp = sparse_topk(logits[k, :int(olen[k])], args.logits_topk)
+                    payload[f'logits_{k}_indices'] = sp['indices']
+                    payload[f'logits_{k}_values'] = sp['values']
+                    payload[f'logits_{k}_shape'] = np.asarray(sp['shape'])
+                np.savez(path, **payload, ref=ref, hyp=hyp, audio_path=audio_path)
+            else:
+                np.savez(path, **{f'logits_{k}': logits[k, :int(olen[k])]
+                                  for k in range(len(logits))},
+                         ref=ref, hyp=hyp, audio_path=audio_path)
             print(path)
 
     if args.output_csv:
@@ -365,6 +375,8 @@ def build_parser():
     parser.add_argument('--lm')
     parser.add_argument('--align', action='store_true')
     parser.add_argument('--logits', action='store_true')
+    parser.add_argument('--logits-topk', type=int, default=0,
+                        help='store only top-k classes per frame (sparse logits)')
     parser.add_argument('--align-boundary-words', action='store_true')
     parser.add_argument('--align-words', action='store_true')
     parser.add_argument('--max-segment-duration', type=float, default=0.0)

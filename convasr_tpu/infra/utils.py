@@ -43,6 +43,27 @@ def setup_logging(log_file_path=None, mode='a', level=logging.INFO, rank=0):
     return logger
 
 
+def sparse_topk(x: np.ndarray, k: int, axis: int = -1, largest: bool = True,
+                fill_value: float = 0.0) -> dict:
+    """Save only the top-k entries along `axis` (spec: models.py:788-800 —
+    used to store compact logits with --logits-topk)."""
+    sign = -1 if largest else 1
+    indices = np.argsort(sign * x, axis=axis)
+    indices = np.take(indices, np.arange(k), axis=axis)
+    values = np.take_along_axis(x, indices, axis=axis)
+    return dict(k=k, axis=axis, largest=largest, shape=list(x.shape),
+                dtype=str(x.dtype), fill_value=fill_value,
+                indices=indices.astype(np.int32), values=values)
+
+
+def sparse_topk_todense(saved: dict) -> np.ndarray:
+    """Inverse of sparse_topk (spec: models.py:803-809)."""
+    out = np.full(saved['shape'], saved['fill_value'], dtype=saved['dtype'])
+    np.put_along_axis(out, saved['indices'].astype(np.int64), saved['values'],
+                      axis=saved['axis'])
+    return out
+
+
 def enable_compilation_cache(cache_dir: str = None):
     """Persistent XLA compilation cache — JasperNetBig compiles take tens of
     seconds; cache them across processes (the TPU analogue of

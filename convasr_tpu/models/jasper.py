@@ -198,6 +198,8 @@ class JasperNet(nn.Module):
     frontend: typing.Optional[LogFilterBankFrontend] = None
     dtype: typing.Any = jnp.float32
     bn_axis_name: typing.Optional[str] = None
+    remat: bool = False  # rematerialize each block's activations in backward
+    #                      (jax.checkpoint: trades FLOPs for HBM at big batch)
 
     def _block_plan(self):
         """Static plan of (kwargs, residual_indices) per backbone block."""
@@ -261,13 +263,15 @@ class JasperNet(nn.Module):
         x = x.astype(self.dtype)
 
         plan = self._block_plan()
+        # static argnums: lengths_fraction may be None and training is a bool —
+        # both must stay out of the traced residuals under remat
+        block_cls = nn.remat(ConvBn, static_argnums=(4,)) if self.remat else ConvBn
         residual: list = []
         for i, block in enumerate(plan):
-            x = ConvBn(temporal_mask=self.temporal_mask, nonlinearity=self.nonlinearity,
-                       num_channels_residual=block['residual_channels'], dtype=self.dtype,
-                       bn_axis_name=self.bn_axis_name, name=f'block{i}',
-                       **block['kwargs'])(x, lengths_fraction=xlen,
-                                          residual=tuple(residual), training=training)
+            x = block_cls(temporal_mask=self.temporal_mask, nonlinearity=self.nonlinearity,
+                          num_channels_residual=block['residual_channels'], dtype=self.dtype,
+                          bn_axis_name=self.bn_axis_name, name=f'block{i}',
+                          **block['kwargs'])(x, xlen, tuple(residual), training)
             if i >= len(plan) - num_epilogue - 1:  # drop residuals for epilogue
                 residual = []
             elif self.residual == 'dense':

@@ -76,7 +76,8 @@ def build_model_and_frontend(args, text_pipelines):
     model = create_model(args.model, num_input_features=args.num_input_features,
                          num_classes=num_classes, frontend=frontend,
                          decoder_type=decoder_type, dropout=args.dropout,
-                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                         remat=args.remat)
     return model, frontend
 
 
@@ -477,6 +478,8 @@ def build_parser():
     parser.add_argument('--bf16', default=True,
                         type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
     parser.add_argument('--dropout', type=float, default=None)
+    parser.add_argument('--remat', action='store_true',
+                        help='rematerialize block activations (less HBM, more FLOPs)')
     parser.add_argument('--bpe-only', action='store_true')
     parser.add_argument('--freeze-backbone', type=int, default=0,
                         help='freeze the first N backbone blocks')

@@ -10,9 +10,7 @@ DER is computed natively by speaker_error (the reference computed both and
 printed them side by side).
 """
 import argparse
-import json
 import os
-import typing
 
 import numpy as np
 import scipy.ndimage

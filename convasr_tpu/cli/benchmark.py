@@ -7,7 +7,6 @@ TPU-native counterparts: XLA compilation cache warms on the first call and
 `jax.profiler` traces (--profile) produce Perfetto-compatible dumps.
 """
 import argparse
-import json
 import os
 import time
 
@@ -21,8 +20,8 @@ def main(args):
     import jax.numpy as jnp
     from ..frontend.logmel import LogFilterBankFrontend
     from ..models.zoo import create_model
-    from ..train.loop import compute_losses, make_optimizer_with_accum, \
-        make_train_step, init_train_state
+    from ..train.loop import make_optimizer_with_accum, make_train_step, \
+        init_train_state
     from ..train.optim import make_optimizer
 
     frontend = LogFilterBankFrontend(

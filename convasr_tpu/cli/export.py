@@ -12,7 +12,6 @@ pure parameter transformation — folding BN scale/bias/stats into the
 preceding conv kernel, which removes the BN ops from the serving graph.
 """
 import argparse
-import os
 
 import numpy as np
 
@@ -84,7 +83,7 @@ def validate_export(model, variables, example_x, example_xlen, export_path: str,
 
 
 def main(args):
-    from ..cli.transcribe import load_any_checkpoint, setup, build_parser as tp
+    from ..cli.transcribe import load_any_checkpoint
     from ..frontend.logmel import LogFilterBankFrontend
     from ..models.zoo import create_model
     from ..text import ProcessingPipeline

@@ -11,7 +11,6 @@ position + args. The reference's apex.amp/DDP machinery is replaced by dtype
 policy + GSPMD sharding.
 """
 import argparse
-import itertools
 import json
 import logging
 import os

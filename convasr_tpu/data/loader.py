@@ -62,7 +62,8 @@ class PrefetchLoader:
             return
 
         with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
-            pending: 'queue.Queue[concurrent.futures.Future]' = queue.Queue()
+            # bounded queue = bounded in-flight decode work
+            pending: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
             stop = threading.Event()
 
             def submitter():
@@ -72,8 +73,6 @@ class PrefetchLoader:
                     pending.put(pool.submit(self._load, indices))
                 pending.put(None)
 
-            # bound the in-flight work by consuming the queue with maxsize
-            pending = queue.Queue(maxsize=self.prefetch)
             thread = threading.Thread(target=submitter, daemon=True)
             thread.start()
             try:

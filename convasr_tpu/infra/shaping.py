@@ -9,7 +9,6 @@ import functools
 import inspect
 import typing
 
-import numpy as np
 
 
 class ShapeType:

@@ -156,15 +156,13 @@ def beam_search_device(log_probs, input_lengths, blank_id: int,
     def one(lp, xlen):
         prefixes = jnp.zeros((K, L), jnp.int32)
         lengths = jnp.zeros((K,), jnp.int32)
-        hashes = jnp.zeros((K,), jnp.uint32).at[:].set(
-            jnp.arange(K, dtype=jnp.uint32) * 0)
         last = jnp.full((K,), -1, jnp.int32)
-        # only beam 0 is alive initially (the empty prefix)
+        # only beam 0 is alive initially (the empty prefix); dead beams get
+        # distinct sentinel hashes so they can never merge with beam 0
         p_b = jnp.full((K,), NEG_INF, jnp.float32).at[0].set(0.0)
         p_nb = jnp.full((K,), NEG_INF, jnp.float32)
-        # distinct dead hashes so empty beams never merge with beam 0
-        hashes = hashes.at[:].set(jnp.uint32(0x7FFFFFF0) + jnp.arange(K, dtype=jnp.uint32))
-        hashes = hashes.at[0].set(jnp.uint32(1))
+        hashes = (jnp.uint32(0x7FFFFFF0) + jnp.arange(K, dtype=jnp.uint32)
+                  ).at[0].set(jnp.uint32(1))
 
         def body(state, inputs):
             lp_t, t = inputs

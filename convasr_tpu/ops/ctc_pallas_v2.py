@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ctc import NEG_INF, ctc_loss as ctc_loss_scan
+from .ctc import NEG_INF
 from .ctc_pallas import _prepare, _final_ll, _lse3, _shift_left, _shift_right
 
 B_TILE = 32

@@ -14,7 +14,6 @@ are automatically GLOBAL means — i.e. SyncBatchNorm semantics
 import typing
 
 import jax
-import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

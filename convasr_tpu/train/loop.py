@@ -11,7 +11,6 @@ the gradient all-reduce. Gradient accumulation is `optax.MultiSteps`
 (train.py:754-755, 776-782). The inf/nan guard selects the old state with
 `jnp.where` — no host round-trip in the step.
 """
-import functools
 import typing
 
 import flax.struct

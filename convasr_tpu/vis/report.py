@@ -15,7 +15,6 @@ import numpy as np
 
 from ..audio import io as audio_io
 from ..data import transcripts
-from ..metrics import cer as cer_fn
 
 META_CHARSET = '<meta charset="utf-8">'
 

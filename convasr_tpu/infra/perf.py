@@ -20,11 +20,11 @@ def init_default(K: float = 2.0):
 def update(values: typing.Dict[str, float], prefix: str = ''):
     """Update meters with new measurements (spec: perf.py:18-36)."""
     for name, value in values.items():
-        key = (prefix + '_' if prefix else '') + name
-        meter = _meters.setdefault(key, dict(avg=0.0, max=0.0, cur=0.0))
         value = float(value)
         if not math.isfinite(value):
             continue
+        key = (prefix + '_' if prefix else '') + name
+        meter = _meters.setdefault(key, dict(avg=0.0, max=0.0, cur=0.0))
         # clamp outliers to K * running average before folding into the EMA
         clamped = min(value, _default_K * meter['avg']) if meter['avg'] > 0 else value
         meter['avg'] = 0.9 * meter['avg'] + 0.1 * clamped if meter['avg'] > 0 else value

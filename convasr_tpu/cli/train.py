@@ -330,13 +330,27 @@ def main(args):
                        iteration=int(jax.device_get(state.step)))
         return
 
-    train_dataset = AudioTextDataset(
-        args.train_data_path, text_pipelines, args.sample_rate,
+    make_train_ds = lambda paths: AudioTextDataset(
+        paths, text_pipelines, args.sample_rate,
         min_duration=args.min_duration, max_duration=args.max_duration,
         time_padding_multiple=args.batch_time_padding_multiple,
         bucket_fn=bucket_fn, mono=True, audio_backend=args.audio_backend, pop_meta=True)
-    sampler = BucketingBatchSampler(train_dataset, batch_size=args.train_batch_size,
-                                    world_size=max(jax.process_count(), 1))
+    world = max(jax.process_count(), 1)
+    if args.train_data_mixing:
+        # weighted mixing across train datasets (spec: --train-data-mixing)
+        assert len(args.train_data_mixing) == len(args.train_data_path)
+        from ..data.sampler import MixingBatchSampler
+        train_datasets = [make_train_ds(path) for path in args.train_data_path]
+        train_dataset = train_datasets[0]
+        sampler = MixingBatchSampler(
+            [BucketingBatchSampler(ds, batch_size=args.train_batch_size,
+                                   world_size=world) for ds in train_datasets],
+            args.train_data_mixing, seed=args.seed)
+    else:
+        train_datasets = None
+        train_dataset = make_train_ds(args.train_data_path)
+        sampler = BucketingBatchSampler(train_dataset, batch_size=args.train_batch_size,
+                                        world_size=world)
     if sampler_state:
         sampler.load_state_dict(sampler_state)
 
@@ -362,10 +376,17 @@ def main(args):
     toc = time.time()
     for epoch in range(epoch_start, args.epochs):
         sampler.set_epoch(epoch)
-        for meta, batch in (to_device_batch(b, mesh) for b in
-                            batches_from_sampler(train_dataset, sampler,
-                                                 num_workers=args.num_workers,
-                                                 timeout=args.timeout or None)):
+        if train_datasets is not None:
+            from ..data.loader import prefetch_map
+            batch_source = prefetch_map(
+                lambda src_idx: train_datasets[src_idx[0]].collate_fn(
+                    [train_datasets[src_idx[0]][i] for i in src_idx[1]]),
+                iter(sampler), num_workers=args.num_workers)
+        else:
+            batch_source = batches_from_sampler(train_dataset, sampler,
+                                                num_workers=args.num_workers,
+                                                timeout=args.timeout or None)
+        for meta, batch in (to_device_batch(b, mesh) for b in batch_source):
             data_time = time.time() - toc
             key = jax.random.fold_in(jax.random.PRNGKey(args.seed), iteration)
             if mesh is not None:
@@ -427,6 +448,7 @@ def build_parser():
                         help='keep CLI hyper-params instead of the checkpoint args')
     parser.add_argument('--model', default='JasperNetBig')
     parser.add_argument('--train-data-path', nargs='*', default=[])
+    parser.add_argument('--train-data-mixing', nargs='*', type=float, default=None)
     parser.add_argument('--val-data-path', nargs='*', default=[])
     parser.add_argument('--sample-rate', type=int, default=8000)
     parser.add_argument('--window-size', type=float, default=0.02)

@@ -65,3 +65,55 @@ class BucketingBatchSampler:
 
     def load_state_dict(self, state_dict):
         self.batch_idx = state_dict['batch_idx']
+
+
+class MixingBatchSampler:
+    """Weighted mixing over several (dataset, BucketingBatchSampler) sources
+    (spec: --train-data-mixing, referenced in scripts/comparison/*.sh).
+
+    Every step draws a source with the given probability and yields that
+    source's next batch (cycling each source's epoch-shuffled schedule), so a
+    batch always comes from ONE dataset and collates with its own collate_fn.
+    Iteration yields (source_index, batch_indices).
+    """
+
+    def __init__(self, samplers, weights, seed: int = 0):
+        assert len(samplers) == len(weights) and samplers
+        self.samplers = samplers
+        total = float(sum(weights))
+        self.weights = [w / total for w in weights]
+        self.seed = seed
+        self.epoch = 0
+        self.batch_idx = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        for s in self.samplers:
+            s.set_epoch(epoch)
+
+    def __len__(self):
+        # one "epoch" = as many draws as the weighted sources would supply
+        return sum(len(s) for s in self.samplers)
+
+    def __iter__(self):
+        rng = np.random.RandomState((self.seed * 1000003 + self.epoch) % (2 ** 32))
+        iters = [iter(s) for s in self.samplers]
+        for step in range(len(self)):
+            # draw AND consume even when skipping, so resume replays the
+            # exact same schedule
+            src = int(rng.choice(len(self.samplers), p=self.weights))
+            try:
+                batch = next(iters[src])
+            except StopIteration:
+                self.samplers[src].set_epoch(self.epoch + 1 + step)
+                iters[src] = iter(self.samplers[src])
+                batch = next(iters[src])
+            if step < self.batch_idx:
+                continue
+            yield src, batch
+
+    def state_dict(self):
+        return dict(batch_idx=self.batch_idx)
+
+    def load_state_dict(self, state_dict):
+        self.batch_idx = state_dict['batch_idx']

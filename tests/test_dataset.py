@@ -191,6 +191,29 @@ class TestBucketingBatchSampler:
         sampler.load_state_dict(dict(batch_idx=3))
         assert [tuple(b) for b in sampler] == all_batches[3:]
 
+    def test_mixing_sampler(self):
+        from convasr_tpu.data.sampler import MixingBatchSampler
+        ds_a, ds_b = self._dataset_stub([0] * 32), self._dataset_stub([0] * 32)
+        sa = BucketingBatchSampler(ds_a, batch_size=4)
+        sb = BucketingBatchSampler(ds_b, batch_size=4)
+        mix = MixingBatchSampler([sa, sb], [0.75, 0.25], seed=1)
+        draws = [src for src, _ in mix]
+        assert len(draws) == len(sa) + len(sb)
+        frac_a = draws.count(0) / len(draws)
+        assert 0.5 < frac_a < 0.95  # weighted toward source 0
+
+    def test_mixing_resume_replays(self):
+        from convasr_tpu.data.sampler import MixingBatchSampler
+        ds = self._dataset_stub([0] * 32)
+        make = lambda: MixingBatchSampler(
+            [BucketingBatchSampler(self._dataset_stub([0] * 32), batch_size=4),
+             BucketingBatchSampler(self._dataset_stub([0] * 32), batch_size=4)],
+            [0.5, 0.5], seed=2)
+        full = [(s, tuple(b)) for s, b in make()]
+        resumed = make()
+        resumed.load_state_dict(dict(batch_idx=5))
+        assert [(s, tuple(b)) for s, b in resumed] == full[5:]
+
     def test_shard(self):
         ds = self._dataset_stub([0] * 16)
         sampler = BucketingBatchSampler(ds, batch_size=2, world_size=2)

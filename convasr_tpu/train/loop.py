@@ -138,7 +138,11 @@ def make_train_step(model, optimizer, bpe_only: bool = False,
             new_stats = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
                                      new_stats, state.batch_stats)
         grad_norm = optax.global_norm(grads)
+        # weight norm: the reference logs weight/grad norms to tensorboard
+        # (train.py:60-117); a global scalar is cheap on device
+        weight_norm = optax.global_norm(new_params)
         metrics = dict(loss=loss, entropy=ent, grad_norm=grad_norm,
+                       weight_norm=weight_norm,
                        finite=finite.astype(jnp.float32))
         return TrainState(step=state.step + 1, params=new_params,
                           batch_stats=new_stats, opt_state=new_opt_state), metrics

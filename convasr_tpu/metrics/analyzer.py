@@ -327,6 +327,9 @@ class ErrorAnalyzer:
         return res
 
     def aggregate(self, analyzed: typing.List[dict], sep='__', defaults: dict = {}) -> dict:
+        if not analyzed:
+            return dict(defaults, cer=-1.0, wer=-1.0, loss=-1.0, entropy=-1.0,
+                        errors=dict(distribution={}, words=[]))
         numeric_keys = lambda d: [k for k, v in d.items() if isinstance(v, (int, float))]
         keys = numeric_keys(analyzed[0])
         for c in self.configs:

@@ -69,4 +69,6 @@ def nanmean(list_of_dicts: typing.List[dict], key: str, sep: str = '.', missing:
 
 def quantiles(vals) -> dict:
     vals = sorted(vals)
+    if not vals:
+        return {}
     return {k: '{:.2f}'.format(float(vals[int(len(vals) * k / 100)])) for k in range(0, 100, 10)}

@@ -82,10 +82,18 @@ def setup(args):
         x0 = jnp.zeros((1, args.sample_rate), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), x0, xlen=jnp.ones((1,), jnp.float32))
 
+    # params must be jit ARGUMENTS, not closure constants: closing over them
+    # embeds ~700MB of weights into the HLO (and the tunneled remote-compile
+    # endpoint rejects oversized programs with HTTP 413)
     @jax.jit
-    def forward(x, xlen):
+    def _forward(variables, x, xlen):
         out = model.apply(variables, x, xlen=xlen)
         return out['log_probs'][0], out['logits'][0], out['olen'][0]
+
+    variables_dev = jax.device_put(variables)
+
+    def forward(x, xlen):
+        return _forward(variables_dev, x, xlen)
 
     generator = GreedyCTCGenerator(blank_amount_to_space=args.replace_blank_series)
     decoder = None

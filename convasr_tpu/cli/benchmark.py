@@ -44,7 +44,16 @@ def main(args):
     print(f'model {args.model}: {n_params / 1e6:.1f}M params, '
           f'init {time.time() - tic:.1f} sec')
 
-    if args.backward:
+    if args.stablehlo:
+        # benchmark a serialized StableHLO artifact (the reference's
+        # onnxruntime io_binding benchmark equivalent, benchmark.py:67-86)
+        from jax import export as jax_export
+        with open(args.stablehlo, 'rb') as f:
+            exported = jax_export.deserialize(bytearray(f.read()))
+
+        def run():
+            return exported.call(variables, x, xlen)[0]
+    elif args.backward:
         L = 64
         batch = dict(x=x, xlen=xlen,
                      y=jnp.asarray(rng.randint(0, args.num_classes - 1,
@@ -114,6 +123,7 @@ def build_parser():
     parser.add_argument('--iterations', type=int, default=20)
     parser.add_argument('--warmup-iterations', type=int, default=3)
     parser.add_argument('--backward', action='store_true')
+    parser.add_argument('--stablehlo', help='benchmark a serialized export artifact')
     parser.add_argument('--bf16', default=True,
                         type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
     parser.add_argument('--profile', help='directory for jax.profiler trace')

@@ -268,6 +268,10 @@ def main(args):
     args = expand_experiment_id(args)
     os.makedirs(args.experiment_dir, exist_ok=True)
     logger = setup_logging(os.path.join(args.experiment_dir, 'log.txt'))
+    # persist the exact flag set (spec: train.py:722-724)
+    with open(os.path.join(args.experiment_dir, 'args.json'), 'w') as f:
+        json.dump({k: v for k, v in vars(args).items()}, f, ensure_ascii=False,
+                  indent=2, sort_keys=True, default=str)
     _print = logging.getLogger('convasr_tpu.train').info
     set_random_seed(args.seed)
 

@@ -86,6 +86,52 @@ class TestTrainStep:
         assert outputs['log_probs'][0].shape[-1] == 6
 
 
+class TestSeparableConversion:
+    def test_reference_pt_separable(self, tmp_path):
+        """Converter routes Sequential(depthwise, relu, pointwise) weights
+        (conv.{r}.0 / conv.{r}.2) into depthwise/pointwise params."""
+        import torch
+        import sys, pathlib
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+        from test_model_parity import build_pair, copy_weights, randomize_batch_stats
+        from convasr_tpu.train.checkpoints import load_reference_checkpoint
+
+        model, oracle = build_pair(residual=False, separable=True, groups=8)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 8), jnp.float32))
+        variables = randomize_batch_stats(variables, jax.random.PRNGKey(1))
+        copy_weights(variables, oracle)
+
+        sd = {}
+        for i, block in enumerate(oracle.blocks):
+            for r, conv in enumerate(block.convs):
+                if hasattr(conv, 'conv'):
+                    sd[f'backbone.{i}.conv.{r}.0.weight'] = conv.conv.weight.detach()
+                else:
+                    sd[f'backbone.{i}.conv.{r}.0.weight'] = conv.depthwise.weight.detach()
+                    sd[f'backbone.{i}.conv.{r}.0.bias'] = conv.depthwise.bias.detach()
+                    sd[f'backbone.{i}.conv.{r}.2.weight'] = conv.pointwise.weight.detach()
+            for r, bn in enumerate(block.bns):
+                sd[f'backbone.{i}.bn.{r}.weight'] = bn.weight.detach()
+                sd[f'backbone.{i}.bn.{r}.bias'] = bn.bias.detach()
+                sd[f'backbone.{i}.bn.{r}.running_mean'] = bn.running_mean
+                sd[f'backbone.{i}.bn.{r}.running_var'] = bn.running_var
+        sd['decoder.0.weight'] = oracle.decoder.weight.detach()
+        sd['decoder.0.bias'] = oracle.decoder.bias.detach()
+        pt = str(tmp_path / 'sep.pt')
+        torch.save(dict(model_state_dict=sd), pt)
+
+        converted, _ = load_reference_checkpoint(pt)
+        x = np.random.RandomState(2).randn(2, 32, 8).astype(np.float32)
+        out = model.apply({'params': converted['params'],
+                           'batch_stats': converted['batch_stats']}, jnp.asarray(x))
+        ours = np.asarray(out['logits'][0]).transpose(0, 2, 1)
+        import torch as _t
+        with _t.no_grad():
+            ref = oracle.eval()(_t.as_tensor(x).permute(0, 2, 1)).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
 class TestSPMD:
     def test_8_device_mesh_matches_single_device(self):
         assert len(jax.devices()) >= 8, 'conftest must force 8 cpu devices'

@@ -115,6 +115,42 @@ class TestAlignWords:
         assert tags['мир'] == ErrorTagger.ok
 
 
+class TestAlignWordsPostproc:
+    def test_prefer_replacement_merges_ins_del(self):
+        from convasr_tpu.metrics.analyzer import _prefer_replacement
+        # adjacent insert+delete becomes a substitution
+        hyp, ref = _prefer_replacement(hyp='аб|', ref='а|б')
+        assert len(hyp) == len(ref)
+        assert '|' not in hyp or '|' not in ref or len(hyp) < 3
+
+    def test_align_words_postproc_path(self):
+        h, r = align_strings(hyp='превет мир', ref='привет мир')
+        words = align_words(h, r, postproc=True, compute_cer=True)
+        assert [w['ref'] for w in words] == ['привет', 'мир']
+
+class TestNeedlemanProportion:
+    def test_proportion_mode_weights_by_length(self):
+        from convasr_tpu.metrics.needleman import SCORE_PROPORTION
+        nw = Needleman(score_null=2, score_sub=-1, score_del=-1, score_ins=-1,
+                       mode=SCORE_PROPORTION)
+        a, b = nw.align(['яяя', 'б'], ['яяя', 'в'], semi_global=False)
+        # sub cost scales with element length: substituting the 1-char word
+        # (-1) beats del+ins (-2); the 3-char match contributes +6
+        assert a == ['яяя', 'б'] and b == ['яяя', 'в']
+
+
+class TestSegmentByRef:
+    def test_resegment_along_reference(self):
+        from convasr_tpu.data import transcripts
+        hyp = [dict(begin=0.1, end=0.4, hyp='а'), dict(begin=0.6, end=0.9, hyp='б'),
+               dict(begin=1.1, end=1.4, hyp='в')]
+        ref_segments = [[dict(begin=0.0, end=0.5)], [dict(begin=0.5, end=1.5)]]
+        out = list(transcripts.segment_by_ref(hyp, ref_segments))
+        assert len(out) == 2
+        assert [t['hyp'] for t in out[0]] == ['а']
+        assert [t['hyp'] for t in out[1]] == ['б', 'в']
+
+
 class TestErrorTagger:
     def test_ok(self):
         assert ErrorTagger().tag(hyp='дом', ref='дом')[0] == ErrorTagger.ok

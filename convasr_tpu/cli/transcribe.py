@@ -26,7 +26,7 @@ from ..decode.generators import GreedyCTCGenerator
 from ..frontend.logmel import LogFilterBankFrontend
 from ..metrics import align_strings, align_words, cer as cer_fn
 from ..models.zoo import create_model
-from ..ops.ctc import ctc_alignment
+from ..ops.align_pallas import ctc_alignment_auto as ctc_alignment
 from ..text import ProcessingPipeline
 from ..train import checkpoints as ckpt_lib
 from ..vis import report as vis

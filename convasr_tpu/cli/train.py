@@ -246,7 +246,8 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
 
 
 def main(args):
-    from ..infra.utils import enable_compilation_cache
+    from ..infra.utils import enable_compilation_cache, select_device
+    select_device(getattr(args, 'device', None))
     enable_compilation_cache()
     if args.checkpoint and not args.finetune:
         # model hyper-params come FROM the checkpoint on resume and override
@@ -442,6 +443,9 @@ def main(args):
 
 def build_parser():
     parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--device', default=None, choices=['cpu', 'tpu', 'axon'],
+                        help='JAX platform (spec: reference --device; needed '
+                             'because the axon plugin overrides JAX_PLATFORMS)')
     parser.add_argument('--experiment-id', default='')
     parser.add_argument('--experiment-name', default='')
     parser.add_argument('--experiments-dir', default='data/experiments')
@@ -502,7 +506,9 @@ def build_parser():
     parser.add_argument('--seed', type=int, default=1)
     parser.add_argument('--bf16', default=True,
                         type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
-    parser.add_argument('--dropout', type=float, default=None)
+    # reference train.py:1033 defaults dropout to 0.2 — match it so the same
+    # command line trains with the same regularization (ADVICE r1)
+    parser.add_argument('--dropout', type=float, default=0.2)
     parser.add_argument('--remat', action='store_true',
                         help='rematerialize block activations (less HBM, more FLOPs)')
     parser.add_argument('--bpe-only', action='store_true')

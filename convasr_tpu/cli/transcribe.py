@@ -130,7 +130,8 @@ def setup(args):
 
 
 def main(args, ext_json=('.json', '.json.gz')):
-    from ..infra.utils import enable_compilation_cache
+    from ..infra.utils import enable_compilation_cache, select_device
+    select_device(getattr(args, 'device', None))
     enable_compilation_cache()
     assert args.output_json or args.output_html or args.output_txt or args.output_csv, \
         'at least one output format must be requested'
@@ -357,6 +358,8 @@ def build_parser():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('--verbose', action='store_true')
     parser.add_argument('--checkpoint', required=True)
+    parser.add_argument('--device', default=None, choices=['cpu', 'tpu', 'axon'],
+                        help='JAX platform (spec: reference --device)')
     parser.add_argument('--model')
     parser.add_argument('--batch-time-padding-multiple', type=int, default=128)
     parser.add_argument('--ext', nargs='*', default=['wav', 'mp3', 'opus', 'm4a'])

@@ -64,6 +64,24 @@ def sparse_topk_todense(saved: dict) -> np.ndarray:
     return out
 
 
+def select_device(device: str = None):
+    """Force the JAX platform (spec: reference --device flag, train.py:994 /
+    scripts/test.sh --device cpu).
+
+    Must run before first backend use. Needed because this image's TPU plugin
+    sets jax_platforms='axon,cpu' in jax.config, which OVERRIDES the
+    JAX_PLATFORMS env var — so `JAX_PLATFORMS=cpu python -m ...` alone does
+    not select CPU. Accepts 'cpu', 'tpu'/'axon', or None/'' (image default).
+    """
+    import jax
+    if not device:
+        device = os.environ.get('CONVASR_DEVICE', '')
+    if not device:
+        return
+    platform = {'tpu': 'axon,cpu', 'axon': 'axon,cpu'}.get(device, device)
+    jax.config.update('jax_platforms', platform)
+
+
 def enable_compilation_cache(cache_dir: str = None):
     """Persistent XLA compilation cache — JasperNetBig compiles take tens of
     seconds; cache them across processes (the TPU analogue of

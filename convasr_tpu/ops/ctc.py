@@ -94,6 +94,11 @@ def ctc_loss(log_probs: jnp.ndarray, targets: jnp.ndarray,
     m = jnp.maximum(a1, a2)
     ll = m + jnp.log(jnp.exp(a1 - m) + jnp.exp(a2 - m))
     ll = jnp.where(target_lengths == 0, a2, ll)
+    # infeasible alignments (e.g. 2*ylen+1 states unreachable within olen)
+    # must be inf, matching torch F.ctc_loss — so the train loop's
+    # nonfinite-skip guard (reference train.py:769,797) actually fires
+    # instead of training on a ~1e30 garbage loss.
+    ll = jnp.where(ll <= NEG_INF / 2, -jnp.inf, ll)
     return -ll
 
 

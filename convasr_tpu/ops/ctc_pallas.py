@@ -222,18 +222,21 @@ def _fwd(log_probs, targets, input_lengths, target_lengths, blank, interpret):
                                            target_lengths, blank_)
     alpha = _run_alpha(E, skip, input_lengths, interpret=interpret)
     ll = _final_ll(alpha, input_lengths, final_mask)
-    ll = jnp.where(target_lengths >= 0, ll, NEG_INF)  # keep shape/dtype stable
-    loss = -ll
-    residuals = (E, skip, final_mask, ext, alpha, ll, input_lengths, C)
+    # infeasible alignments (2*ylen+1 unreachable within olen) -> inf loss,
+    # matching torch F.ctc_loss so the train loop's nonfinite-skip fires
+    feasible = ll > NEG_INF / 2
+    loss = jnp.where(feasible, -ll, jnp.inf)
+    residuals = (E, skip, final_mask, ext, alpha, ll, input_lengths, feasible, C)
     return loss, residuals
 
 
 def _bwd(blank, interpret, residuals, g):
-    E, skip, final_mask, ext, alpha, ll, input_lengths, C = residuals
+    E, skip, final_mask, ext, alpha, ll, input_lengths, feasible, C = residuals
     grad_E = _run_beta_grad(E, skip, input_lengths, final_mask, alpha, ll,
                             interpret=interpret)
-    # d(loss)/dE = -grad_E ; chain with incoming cotangent g (per-utterance)
-    grad_E = -grad_E * g[:, None, None]
+    # d(loss)/dE = -grad_E ; chain with incoming cotangent g (per-utterance);
+    # infeasible rows get zero gradient (their exp(alpha+beta-ll) is garbage)
+    grad_E = -grad_E * jnp.where(feasible, g, 0.0)[:, None, None]
     # scatter back to classes: one-hot (B, S, C) batched matmul on the MXU
     onehot = jax.nn.one_hot(ext, C, dtype=jnp.float32)            # (B, S, C)
     grad_lp = jnp.einsum('bts,bsc->btc', grad_E, onehot,

@@ -171,14 +171,18 @@ def _fwd(log_probs, targets, input_lengths, target_lengths, blank, interpret):
                                            target_lengths, blank_)
     alpha = _run_alpha(E, skip, input_lengths, interpret=interpret)
     ll = _final_ll(alpha, input_lengths, final_mask)
-    return -ll, (E, skip, final_mask, ext, alpha, ll, input_lengths, C)
+    # infeasible alignments -> inf loss (torch F.ctc_loss semantics), so the
+    # train loop's nonfinite-skip guard fires instead of training on ~1e30
+    feasible = ll > NEG_INF / 2
+    loss = jnp.where(feasible, -ll, jnp.inf)
+    return loss, (E, skip, final_mask, ext, alpha, ll, input_lengths, feasible, C)
 
 
 def _bwd(blank, interpret, residuals, g):
-    E, skip, final_mask, ext, alpha, ll, input_lengths, C = residuals
+    E, skip, final_mask, ext, alpha, ll, input_lengths, feasible, C = residuals
     grad_E = _run_beta_grad(E, skip, input_lengths, final_mask, alpha, ll,
                             interpret=interpret)
-    grad_E = -grad_E * g[:, None, None]
+    grad_E = -grad_E * jnp.where(feasible, g, 0.0)[:, None, None]
     onehot = jax.nn.one_hot(ext, C, dtype=jnp.float32)
     grad_lp = jnp.einsum('bts,bsc->btc', grad_E, onehot,
                          preferred_element_type=jnp.float32)

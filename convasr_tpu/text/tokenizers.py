@@ -72,6 +72,12 @@ def train_bpe(sentences: typing.Iterable[str], vocab_size: int, model_path: str 
     <unk>, <s>, </s>, <pad> like sentencepiece defaults; the CTC blank reuses
     <pad> (the generator treats pad_id as silence, text_tokenizers.py:65-66).
     """
+    # reserve the LAST id for a dedicated CTC blank: training uses blank =
+    # num_classes-1 (reference models.py:323), and the reference silently
+    # overloads its last sentencepiece piece as blank (targets can collide
+    # with it); a reserved <blank> piece removes the collision.
+    vocab_size -= 1
+
     word_freq = collections.Counter()
     for sentence in sentences:
         for word in sentence.strip().split():
@@ -128,6 +134,7 @@ def train_bpe(sentences: typing.Iterable[str], vocab_size: int, model_path: str 
             new_words[tuple(out)] = new_words.get(tuple(out), 0) + wfreq
         words = new_words
 
+    pieces.append('<blank>')
     model = dict(type='bpe', pieces=pieces, merges=merges,
                  unk_id=0, bos_id=1, eos_id=2, pad_id=3)
     if model_path is not None:
@@ -170,15 +177,17 @@ class BPETokenizer:
 
     @property
     def eps_id(self):
-        """CTC-blank alias for the greedy generator. The reference's BPE head
-        uses blank = num_classes - 1 (models.py:323) but its BPETokenizer has
-        no eps attribute (the generator was char-only); we map blank onto
-        pad_id so BPE transcripts can be generated the same way."""
-        return self.pad_id
+        """CTC-blank alias for decode/align paths. Training uses blank =
+        num_classes - 1 for EVERY head (reference models.py:323: F.ctc_loss
+        with blank = C-1), so for a BPE head with C = vocab_size classes the
+        LAST vocab entry doubles as the blank — exactly as in the reference,
+        where the last sentencepiece piece is never emitted. Must match the
+        training blank or decode produces garbage."""
+        return len(self.pieces) - 1
 
     @property
     def silence_tokens_ids(self):
-        return {self.pad_id}
+        return {self.pad_id, self.eps_id}
 
     def is_start_word_token(self, idx):
         return idx in self.word_start_tokens
@@ -204,7 +213,7 @@ class BPETokenizer:
         return out
 
     def decode(self, tokens: typing.List[typing.List[int]], **kwargs) -> typing.List[str]:
-        special = {self.bos_id, self.eos_id, self.pad_id}
+        special = {self.bos_id, self.eos_id, self.pad_id, self.eps_id}
         out = []
         for ts in tokens:
             text = ''.join(self.pieces[i] if i not in special else '' for i in ts)

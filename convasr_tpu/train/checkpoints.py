@@ -177,11 +177,41 @@ def load_reference_checkpoint(pt_path: str):
                 else:
                     put(params, [block, f'conv_residual{j}', 'bias'], t)
         elif parts[0] == 'decoder':
-            head = f'head{parts[1]}'
-            if parts[-1] == 'weight':
-                put(params, ['decoder', head, 'kernel'], conv_kernel(t))
-            else:
-                put(params, ['decoder', head, 'bias'], t)
+            if len(parts) == 3:
+                # flat Conv1d head: decoder.{i}.{weight,bias} -> decoder/head{i}
+                head = f'head{parts[1]}'
+                if parts[-1] == 'weight':
+                    put(params, ['decoder', head, 'kernel'], conv_kernel(t))
+                else:
+                    put(params, ['decoder', head, 'bias'], t)
+            elif parts[1] == '1' and len(parts) >= 6 and parts[3] in ('conv', 'bn'):
+                # type='bpe' head: decoder.1 is Sequential(ConvBn1d, ConvBn1d)
+                # (reference models.py:27-35) -> decoder/bpe_conv{j}/{conv0,bn0}
+                j, kind = parts[2], parts[3]
+                bpe = f'bpe_conv{j}'
+                leaf = parts[-1]
+                if kind == 'conv':
+                    # decoder.1.{j}.conv.0.0.weight (ConvSamePadding Sequential)
+                    if leaf == 'weight':
+                        put(params, ['decoder', bpe, 'conv0', 'conv', 'kernel'],
+                            conv_kernel(t))
+                    elif leaf == 'bias':
+                        put(params, ['decoder', bpe, 'conv0', 'conv', 'bias'], t)
+                else:  # bn: decoder.1.{j}.bn.0.{weight,bias,running_mean,running_var}
+                    if leaf == 'weight':
+                        put(params, ['decoder', bpe, 'bn0', 'scale'], t)
+                    elif leaf == 'bias':
+                        put(params, ['decoder', bpe, 'bn0', 'bias'], t)
+                    elif leaf == 'running_mean':
+                        put(batch_stats, ['decoder', bpe, 'bn0', 'mean'], t)
+                    elif leaf == 'running_var':
+                        put(batch_stats, ['decoder', bpe, 'bn0', 'var'], t)
+                    # num_batches_tracked: no Flax equivalent, dropped
+            elif parts[-1] != 'num_batches_tracked':
+                raise ValueError(
+                    f'unsupported reference decoder structure: {name!r} — '
+                    'expected a flat Conv1d head (decoder.{i}.weight) or the '
+                    "type='bpe' nested ConvBn head (decoder.1.{j}.conv/bn.*)")
         # frontend buffers (window/mel/stft) are reconstructed from config
 
     meta = {k: ckpt[k] for k in ('epoch', 'iteration', 'args', 'sampler_state_dict')

@@ -89,6 +89,33 @@ class TestCTCLoss:
                    torch.as_tensor(ylen), blank=C - 1, reduction='none').sum().backward()
         np.testing.assert_allclose(ours, lg_t.grad.numpy(), rtol=1e-3, atol=1e-4)
 
+    def test_infeasible_is_inf(self):
+        # 2*ylen-1 states cannot fit into olen frames -> torch returns inf;
+        # we must too, so train/loop.py's nonfinite-skip fires (ADVICE r1)
+        rng = np.random.RandomState(7)
+        B, T, C, L = 3, 6, 5, 5
+        lp = np.log(np.full((B, T, C), 1 / C, dtype=np.float32))
+        y = np.tile(np.array([0, 1, 0, 1, 0], np.int32), (B, 1))
+        xlen = np.array([6, 4, 6], np.int32)        # row 1: 4 frames < 5 labels
+        ylen = np.array([5, 5, 2], np.int32)
+        ours = np.asarray(ctc_loss(jnp.asarray(lp), jnp.asarray(y),
+                                   jnp.asarray(xlen), jnp.asarray(ylen), blank=C - 1))
+        ref = F.ctc_loss(torch.as_tensor(lp).permute(1, 0, 2), torch.as_tensor(y),
+                         torch.as_tensor(xlen), torch.as_tensor(ylen),
+                         blank=C - 1, reduction='none').numpy()
+        assert np.isinf(ours[1]) and np.isinf(ref[1])
+        np.testing.assert_allclose(ours[[0, 2]], ref[[0, 2]], rtol=1e-4, atol=1e-4)
+
+        # gradients of feasible rows unaffected; infeasible rows contribute 0
+        def loss_fn(lg):
+            l = ctc_loss(jax.nn.log_softmax(lg, -1), jnp.asarray(y),
+                         jnp.asarray(xlen), jnp.asarray(ylen), blank=C - 1)
+            return jnp.where(jnp.isfinite(l), l, 0.0).sum()
+        g = np.asarray(jax.grad(loss_fn)(jnp.asarray(
+            rng.randn(B, T, C).astype(np.float32))))
+        assert np.isfinite(g).all()
+        assert np.abs(g[1]).max() == 0.0
+
     def test_jit(self):
         rng = np.random.RandomState(4)
         lp, y, xlen, ylen, blank = make_batch(rng)

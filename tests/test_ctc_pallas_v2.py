@@ -51,3 +51,23 @@ class TestPallasV2:
             lambda l: ctc_loss_pallas_v2(l, y, xlen, ylen, None, True).sum())(lp))
         g2 = np.asarray(jax.grad(lambda l: ctc_loss_scan(l, y, xlen, ylen).sum())(lp))
         np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-4)
+
+    def test_infeasible_is_inf_and_grads_zero(self):
+        # rows whose lattice cannot fit into xlen frames: inf loss, zero grad
+        B, T, C, L = 3, 18, 6, 5
+        rng = np.random.RandomState(4)
+        lp = jax.nn.log_softmax(jnp.asarray(rng.randn(B, T, C).astype(np.float32)), -1)
+        y = jnp.asarray(np.tile(np.array([0, 1, 0, 1, 0], np.int32), (B, 1)))
+        xlen = jnp.asarray([18, 4, 18], jnp.int32)   # row 1 infeasible (needs >=9)
+        ylen = jnp.asarray([5, 5, 3], jnp.int32)
+        loss = np.asarray(ctc_loss_pallas_v2(lp, y, xlen, ylen, None, True))
+        ref = np.asarray(ctc_loss_scan(lp, y, xlen, ylen))
+        assert np.isinf(loss[1]) and np.isinf(ref[1])
+        np.testing.assert_allclose(loss[[0, 2]], ref[[0, 2]], rtol=1e-4, atol=1e-4)
+
+        def masked_sum(l):
+            out = ctc_loss_pallas_v2(l, y, xlen, ylen, None, True)
+            return jnp.where(jnp.isfinite(out), out, 0.0).sum()
+        g = np.asarray(jax.grad(masked_sum)(lp))
+        assert np.isfinite(g).all()
+        assert np.abs(g[1]).max() == 0.0

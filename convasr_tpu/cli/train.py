@@ -72,11 +72,14 @@ def build_model_and_frontend(args, text_pipelines):
         dither=args.dither)
     num_classes = tuple(p.tokenizer.vocab_size for p in text_pipelines)
     decoder_type = 'bpe' if len(num_classes) > 1 else None
+    overrides = {}
+    if getattr(args, 'base_width', None):
+        overrides['base_width'] = args.base_width
     model = create_model(args.model, num_input_features=args.num_input_features,
                          num_classes=num_classes, frontend=frontend,
                          decoder_type=decoder_type, dropout=args.dropout,
                          dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                         remat=args.remat)
+                         remat=args.remat, **overrides)
     return model, frontend
 
 
@@ -143,11 +146,16 @@ def batches_from_sampler(dataset, sampler, rank=0, world_size=1, num_workers=0,
 
 def to_device_batch(meta_s_x, mesh=None):
     meta, s, x, xlen, y, ylen = meta_s_x
-    batch = dict(x=jnp.asarray(x[:, 0, :]), xlen=jnp.asarray(xlen),
-                 y=jnp.asarray(y), ylen=jnp.asarray(ylen))
+    batch = dict(x=np.ascontiguousarray(x[:, 0, :]),
+                 xlen=np.asarray(xlen, np.float32),
+                 y=np.asarray(y, np.int32), ylen=np.asarray(ylen, np.int32))
     if mesh is not None:
-        sharding = NamedSharding(mesh, P('data'))
-        batch = jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+        # multi-process aware: assembles the global array from this host's
+        # rows (jax.make_array_from_process_local_data) when world > 1
+        from ..parallel.mesh import make_global_batch
+        batch = make_global_batch(mesh, batch)
+    else:
+        batch = jax.tree.map(jnp.asarray, batch)
     return meta, batch
 
 
@@ -248,6 +256,17 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
 def main(args):
     from ..infra.utils import enable_compilation_cache, select_device
     select_device(getattr(args, 'device', None))
+    if args.num_processes and args.num_processes > 1:
+        # multi-process SPMD init (replaces the reference's process spawn +
+        # dist.init_process_group(tcp://master_ip:master_port),
+        # train.py:852-874, 1059-1076)
+        from ..parallel.mesh import init_distributed
+        init_distributed(args.coordinator_address, args.num_processes,
+                         args.process_id,
+                         cpu_devices_per_process=args.cpu_devices_per_process)
+    elif args.cpu_devices_per_process:
+        jax.config.update('jax_platforms', 'cpu')
+        jax.config.update('jax_num_cpu_devices', args.cpu_devices_per_process)
     enable_compilation_cache()
     if args.checkpoint and not args.finetune:
         # model hyper-params come FROM the checkpoint on resume and override
@@ -266,13 +285,17 @@ def main(args):
         except Exception as e:
             print(f'warning: could not read checkpoint args ({e})')
 
+    rank, world = jax.process_index(), jax.process_count()
     args = expand_experiment_id(args)
     os.makedirs(args.experiment_dir, exist_ok=True)
-    logger = setup_logging(os.path.join(args.experiment_dir, 'log.txt'))
-    # persist the exact flag set (spec: train.py:722-724)
-    with open(os.path.join(args.experiment_dir, 'args.json'), 'w') as f:
-        json.dump({k: v for k, v in vars(args).items()}, f, ensure_ascii=False,
-                  indent=2, sort_keys=True, default=str)
+    # rank-aware log files (spec: log.node{rank}, reference utils.py:34-51)
+    log_name = 'log.txt' if world == 1 else f'log.node{rank}.txt'
+    logger = setup_logging(os.path.join(args.experiment_dir, log_name))
+    if rank == 0:
+        # persist the exact flag set (spec: train.py:722-724)
+        with open(os.path.join(args.experiment_dir, 'args.json'), 'w') as f:
+            json.dump({k: v for k, v in vars(args).items()}, f, ensure_ascii=False,
+                      indent=2, sort_keys=True, default=str)
     _print = logging.getLogger('convasr_tpu.train').info
     set_random_seed(args.seed)
 
@@ -299,8 +322,8 @@ def main(args):
     example_T = args.sample_rate  # 1 s dummy for init
     example_batch = dict(x=jnp.zeros((1, example_T), jnp.float32),
                          xlen=jnp.ones((1,), jnp.float32),
-                         y=jnp.zeros((1, len(text_pipelines), 8), jnp.int64),
-                         ylen=jnp.ones((1, len(text_pipelines)), jnp.int64))
+                         y=jnp.zeros((1, len(text_pipelines), 8), jnp.int32),
+                         ylen=jnp.ones((1, len(text_pipelines)), jnp.int32))
     variables = model.init(jax.random.PRNGKey(args.seed), example_batch['x'],
                            xlen=example_batch['xlen'])
     mask = None
@@ -340,33 +363,77 @@ def main(args):
         min_duration=args.min_duration, max_duration=args.max_duration,
         time_padding_multiple=args.batch_time_padding_multiple,
         bucket_fn=bucket_fn, mono=True, audio_backend=args.audio_backend, pop_meta=True)
-    world = max(jax.process_count(), 1)
+
+    def make_train_ds_cached(paths):
+        """Rank 0 parses/prunes the manifests once and persists the packed
+        index; other ranks load it after a barrier (spec: train.py:588-636
+        dataset_cache.pt + dist.barrier)."""
+        if world == 1:
+            return make_train_ds(paths)
+        import pickle
+        from ..parallel.mesh import barrier
+        cache_path = os.path.join(
+            args.experiment_dir,
+            'dataset_cache_' + '_'.join(os.path.basename(p) for p in paths) + '.pkl')
+        if rank == 0:
+            ds = make_train_ds(paths)
+            with open(cache_path + '.tmp', 'wb') as f:
+                pickle.dump(ds.state_dict(), f)
+            os.replace(cache_path + '.tmp', cache_path)
+        barrier('dataset_cache:' + cache_path)
+        if rank != 0:
+            ds = make_train_ds([])  # empty shell, filled from the cache
+            with open(cache_path, 'rb') as f:
+                ds.load_state_dict(pickle.load(f))
+        return ds
+
+    # the CLI batch size is the GLOBAL per-step batch; each process feeds
+    # global/world rows (spec: per-rank batch division, train.py:1065-1067)
+    assert args.train_batch_size % world == 0, \
+        f'--train-batch-size {args.train_batch_size} not divisible by {world} processes'
+    per_host_batch = args.train_batch_size // world
     if args.train_data_mixing:
         # weighted mixing across train datasets (spec: --train-data-mixing)
         assert len(args.train_data_mixing) == len(args.train_data_path)
         from ..data.sampler import MixingBatchSampler
-        train_datasets = [make_train_ds(path) for path in args.train_data_path]
+        train_datasets = [make_train_ds_cached([path]) for path in args.train_data_path]
         train_dataset = train_datasets[0]
         sampler = MixingBatchSampler(
-            [BucketingBatchSampler(ds, batch_size=args.train_batch_size,
+            [BucketingBatchSampler(ds, batch_size=per_host_batch,
                                    world_size=world) for ds in train_datasets],
             args.train_data_mixing, seed=args.seed)
     else:
         train_datasets = None
-        train_dataset = make_train_ds(args.train_data_path)
-        sampler = BucketingBatchSampler(train_dataset, batch_size=args.train_batch_size,
+        train_dataset = make_train_ds_cached(args.train_data_path)
+        sampler = BucketingBatchSampler(train_dataset, batch_size=per_host_batch,
                                         world_size=world)
     if sampler_state:
         sampler.load_state_dict(sampler_state)
 
-    # data-axis size must divide the per-step batch; use the largest divisor
-    n_dev = len(jax.devices())
-    n_data = max(d for d in range(1, n_dev + 1) if args.train_batch_size % d == 0)
-    mesh = make_mesh(n_data=n_data) if n_data > 1 else None
+    if world > 1:
+        # multi-process: the mesh spans ALL devices (process-contiguous order
+        # so each host's sampler shard lands on its own chips); the global
+        # batch must divide over the data axis
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        n_data = len(devs)
+        assert args.train_batch_size % n_data == 0, \
+            f'global batch {args.train_batch_size} must divide over {n_data} devices'
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(devs).reshape(n_data, 1), ('data', 'model'))
+    else:
+        # data-axis size must divide the per-step batch; use the largest divisor
+        n_dev = len(jax.devices())
+        n_data = max(d for d in range(1, n_dev + 1) if args.train_batch_size % d == 0)
+        mesh = make_mesh(n_data=n_data) if n_data > 1 else None
     train_step = make_train_step(model, optimizer, bpe_only=args.bpe_only)
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         shard = NamedSharding(mesh, P('data'))
+        if world > 1:
+            # replicate across processes: every host computed the identical
+            # init (same seed), so a host-local numpy -> replicated device_put
+            # needs no communication
+            state = jax.device_get(state)
         state = jax.device_put(state, repl)
         train_step = jax.jit(train_step, in_shardings=(repl, shard, repl),
                              out_shardings=(repl, repl), donate_argnums=(0,))
@@ -374,7 +441,8 @@ def main(args):
         train_step = jax.jit(train_step, donate_argnums=(0,))
 
     tensorboard = TensorboardSink(
-        os.path.join(args.experiment_dir, 'tensorboard') if args.tensorboard else None)
+        os.path.join(args.experiment_dir, 'tensorboard')
+        if args.tensorboard and rank == 0 else None)
     perf.init_default()
     iteration = int(jax.device_get(state.step))
     _print(f'start training at epoch {epoch_start} iteration {iteration}')
@@ -383,19 +451,21 @@ def main(args):
         sampler.set_epoch(epoch)
         if train_datasets is not None:
             from ..data.loader import prefetch_map
+            mix_iter = sampler.shard(rank) if world > 1 else iter(sampler)
             batch_source = prefetch_map(
                 lambda src_idx: train_datasets[src_idx[0]].collate_fn(
                     [train_datasets[src_idx[0]][i] for i in src_idx[1]]),
-                iter(sampler), num_workers=args.num_workers)
+                mix_iter, num_workers=args.num_workers)
         else:
             batch_source = batches_from_sampler(train_dataset, sampler,
+                                                rank=rank, world_size=world,
                                                 num_workers=args.num_workers,
                                                 timeout=args.timeout or None)
         for meta, batch in (to_device_batch(b, mesh) for b in batch_source):
             data_time = time.time() - toc
             key = jax.random.fold_in(jax.random.PRNGKey(args.seed), iteration)
             if mesh is not None:
-                key = jax.device_put(key, repl)
+                key = jax.device_put(np.asarray(key) if world > 1 else key, repl)
             state, metrics_dev = train_step(state, batch, key)
             iteration += 1
             sampler.batch_idx += 1
@@ -410,14 +480,26 @@ def main(args):
                 _print(f'epoch {epoch} iter {iteration} loss {m["loss"]:.4f} '
                        f'entropy {m["entropy"]:.3f} grad_norm {m["grad_norm"]:.3f} '
                        f'data {data_time * 1e3:.0f}ms step {step_time * 1e3:.0f}ms')
-                with open(os.path.join(args.experiment_dir, 'log.json'), 'a') as f:
+                # per-rank JSON-lines sink (spec: log.node{rank}.json, train.py:40-58)
+                json_name = 'log.json' if world == 1 else f'log.node{rank}.json'
+                with open(os.path.join(args.experiment_dir, json_name), 'a') as f:
                     f.write(json.dumps(dict(epoch=epoch, iteration=iteration, **m)) + '\n')
             toc = time.time()
             if args.val_iteration_interval and iteration % args.val_iteration_interval == 0:
-                evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
-                               error_analyzer, epoch=epoch, iteration=iteration,
-                               training=True, tensorboard=tensorboard)
+                if rank == 0:
+                    # eval needs no collectives (params are replicated); only
+                    # rank 0 decodes+analyzes (spec: non-rank0 returns early,
+                    # train.py:236). device_get makes the state host-local so
+                    # the eval jit doesn't span non-addressable devices.
+                    evaluate_model(args, model,
+                                   jax.device_get(state) if world > 1 else state,
+                                   val_datasets, generator,
+                                   text_pipelines, error_analyzer, epoch=epoch,
+                                   iteration=iteration, training=True,
+                                   tensorboard=tensorboard)
                 if not args.checkpoint_skip:
+                    # every rank participates in the orbax save (multihost
+                    # barriers); only the primary writes data/meta
                     ckpt_lib.save_checkpoint(
                         ckpt_lib.checkpoint_path(args.experiment_dir, epoch, iteration),
                         jax.device_get(state), epoch=epoch,
@@ -428,9 +510,12 @@ def main(args):
             sampler.batch_idx = 0
             if args.skip_on_epoch_end_evaluation:
                 continue
-            evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
-                           error_analyzer, epoch=epoch, iteration=iteration, training=True,
-                           tensorboard=tensorboard)
+            if rank == 0:
+                evaluate_model(args, model,
+                               jax.device_get(state) if world > 1 else state,
+                               val_datasets, generator, text_pipelines,
+                               error_analyzer, epoch=epoch, iteration=iteration, training=True,
+                               tensorboard=tensorboard)
             if not args.checkpoint_skip:
                 ckpt_lib.save_checkpoint(
                     ckpt_lib.checkpoint_path(args.experiment_dir, epoch, iteration),
@@ -446,6 +531,19 @@ def build_parser():
     parser.add_argument('--device', default=None, choices=['cpu', 'tpu', 'axon'],
                         help='JAX platform (spec: reference --device; needed '
                              'because the axon plugin overrides JAX_PLATFORMS)')
+    # multi-process SPMD (replaces --master-ip/--master-port/--world-size,
+    # reference train.py:869-873); one process per TPU host
+    parser.add_argument('--coordinator-address', default='localhost:9876',
+                        help='jax.distributed coordinator host:port')
+    parser.add_argument('--num-processes', type=int, default=0,
+                        help='total processes in the pod (0/1 = single process)')
+    parser.add_argument('--process-id', type=int,
+                        default=int(os.environ.get('CONVASR_PROCESS_ID', 0)))
+    parser.add_argument('--cpu-devices-per-process', type=int, default=0,
+                        help='force N virtual CPU devices per process '
+                             '(multi-process CI testing without a pod)')
+    parser.add_argument('--base-width', type=int, default=None,
+                        help='override the zoo config base width (small CI models)')
     parser.add_argument('--experiment-id', default='')
     parser.add_argument('--experiment-name', default='')
     parser.add_argument('--experiments-dir', default='data/experiments')

@@ -96,21 +96,41 @@ class MixingBatchSampler:
         return sum(len(s) for s in self.samplers)
 
     def __iter__(self):
+        return self._iterate(rank=None)
+
+    def shard(self, rank: int, world_size: typing.Optional[int] = None):
+        """Rank's view for multi-process SPMD: the source is drawn once per
+        sync group of `world_size` consecutive batches (which the underlying
+        BucketingBatchSamplers keep in the same bucket), so every rank sees
+        the same source and padded shape each step."""
+        return self._iterate(rank=rank)
+
+    def _iterate(self, rank=None):
+        world = self.samplers[0].world_size
         rng = np.random.RandomState((self.seed * 1000003 + self.epoch) % (2 ** 32))
         iters = [iter(s) for s in self.samplers]
-        for step in range(len(self)):
+        step = 0
+        for g in range(len(self) // world):
             # draw AND consume even when skipping, so resume replays the
             # exact same schedule
             src = int(rng.choice(len(self.samplers), p=self.weights))
-            try:
-                batch = next(iters[src])
-            except StopIteration:
-                self.samplers[src].set_epoch(self.epoch + 1 + step)
-                iters[src] = iter(self.samplers[src])
-                batch = next(iters[src])
-            if step < self.batch_idx:
+            group = []
+            for _ in range(world):
+                try:
+                    batch = next(iters[src])
+                except StopIteration:
+                    self.samplers[src].set_epoch(self.epoch + 1 + step)
+                    iters[src] = iter(self.samplers[src])
+                    batch = next(iters[src])
+                group.append(batch)
+                step += 1
+            if g < self.batch_idx:
                 continue
-            yield src, batch
+            if rank is None:
+                for batch in group:
+                    yield src, batch
+            else:
+                yield src, group[rank]
 
     def state_dict(self):
         return dict(batch_idx=self.batch_idx)

@@ -69,3 +69,44 @@ def process_local_batch_slice(global_batch_size: int) -> slice:
     per_process = global_batch_size // jax.process_count()
     start = jax.process_index() * per_process
     return slice(start, start + per_process)
+
+
+def init_distributed(coordinator_address: str, num_processes: int, process_id: int,
+                     cpu_devices_per_process: int = 0):
+    """Multi-process runtime init (replaces dist.init_process_group(tcp://...),
+    reference train.py:852-874). Must run before first backend use.
+
+    cpu_devices_per_process > 0 forces that many virtual CPU devices per
+    process — the CI path for testing true multi-process SPMD without a pod.
+    """
+    if cpu_devices_per_process:
+        jax.config.update('jax_platforms', 'cpu')
+        jax.config.update('jax_num_cpu_devices', cpu_devices_per_process)
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes, process_id=process_id)
+
+
+def barrier(name: str = 'convasr'):
+    """Cross-process sync point (replaces dist.barrier, train.py:177,613,636)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
+def make_global_batch(mesh: Mesh, batch: dict) -> dict:
+    """Assemble the global on-device batch from this process's local rows.
+
+    Single-process: a plain device_put with batch-dim sharding. Multi-process:
+    `jax.make_array_from_process_local_data` — each host contributes its
+    (per_host_B, ...) rows and the result is the (world*per_host_B, ...)
+    global jax.Array sharded over the 'data' mesh axis. This is the correct
+    multi-host feed (plain device_put fails when some mesh devices are
+    non-addressable).
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        import numpy as np
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)),
+            batch)
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)

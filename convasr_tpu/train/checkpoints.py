@@ -44,10 +44,11 @@ def save_checkpoint(path: str, state, epoch: int = 0, sampler_state: dict = None
     checkpointer = ocp.StandardCheckpointer()
     checkpointer.save(os.path.abspath(path), payload, force=True)
     checkpointer.wait_until_finished()
-    meta = dict(epoch=epoch, iteration=int(jax.device_get(state.step)),
-                sampler=sampler_state or {}, args=args or {})
-    with open(os.path.join(path, 'meta.json'), 'w') as f:
-        json.dump(meta, f, ensure_ascii=False, indent=2, default=str)
+    if jax.process_index() == 0:  # multi-process: primary writes meta
+        meta = dict(epoch=epoch, iteration=int(jax.device_get(state.step)),
+                    sampler=sampler_state or {}, args=args or {})
+        with open(os.path.join(path, 'meta.json'), 'w') as f:
+            json.dump(meta, f, ensure_ascii=False, indent=2, default=str)
     return path
 
 

@@ -69,12 +69,17 @@ def build_model_and_frontend(args, text_pipelines):
     frontend = LogFilterBankFrontend(
         out_channels=args.num_input_features, sample_rate=args.sample_rate,
         window_size=args.window_size, window_stride=args.window_stride,
-        dither=args.dither)
+        window=args.window, dither=args.dither)
     num_classes = tuple(p.tokenizer.vocab_size for p in text_pipelines)
     decoder_type = 'bpe' if len(num_classes) > 1 else None
     overrides = {}
     if getattr(args, 'base_width', None):
         overrides['base_width'] = args.base_width
+    if getattr(args, 'spec_augment', False):
+        overrides['spec_augment'] = (args.spec_augment_time_masks,
+                                     args.spec_augment_time_width,
+                                     args.spec_augment_freq_masks,
+                                     args.spec_augment_freq_width)
     model = create_model(args.model, num_input_features=args.num_input_features,
                          num_classes=num_classes, frontend=frontend,
                          decoder_type=decoder_type, dropout=args.dropout,
@@ -607,6 +612,12 @@ def build_parser():
     # reference train.py:1033 defaults dropout to 0.2 — match it so the same
     # command line trains with the same regularization (ADVICE r1)
     parser.add_argument('--dropout', type=float, default=0.2)
+    parser.add_argument('--spec-augment', action='store_true',
+                        help='SpecAugment time/freq feature masks in training')
+    parser.add_argument('--spec-augment-time-masks', type=int, default=2)
+    parser.add_argument('--spec-augment-time-width', type=int, default=50)
+    parser.add_argument('--spec-augment-freq-masks', type=int, default=2)
+    parser.add_argument('--spec-augment-freq-width', type=int, default=13)
     parser.add_argument('--remat', action='store_true',
                         help='rematerialize block activations (less HBM, more FLOPs)')
     parser.add_argument('--bpe-only', action='store_true')

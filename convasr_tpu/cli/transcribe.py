@@ -57,6 +57,7 @@ def setup(args):
     frontend = LogFilterBankFrontend(
         out_channels=args.num_input_features, sample_rate=args.sample_rate,
         window_size=args.window_size, window_stride=args.window_stride,
+        window=getattr(args, 'window', 'hann_window'),
         dither=args.dither, normalize_signal_enabled=True)
 
     text_config = ProcessingPipeline.load_config(ckpt_args.get('text_config', args.text_config))

@@ -78,6 +78,28 @@ def hann_window(win_length: int, periodic: bool = True) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(win_length) / max(n, 1))).astype(np.float32)
 
 
+def make_window(name: str, win_length: int, periodic: bool = True) -> np.ndarray:
+    """Window by torch name (spec: the reference resolves --window with
+    getattr(torch, args.window), models.py:499 / train.py:417). Formulas match
+    torch.{hann,hamming,blackman,bartlett}_window with periodic=True."""
+    n = max(win_length if periodic else win_length - 1, 1)
+    t = 2.0 * np.pi * np.arange(win_length) / n
+    name = name.replace('_window', '')
+    if name == 'hann':
+        w = 0.5 - 0.5 * np.cos(t)
+    elif name == 'hamming':
+        w = 0.54 - 0.46 * np.cos(t)
+    elif name == 'blackman':
+        w = 0.42 - 0.5 * np.cos(t) + 0.08 * np.cos(2.0 * t)
+    elif name == 'bartlett':
+        x = np.arange(win_length) * 2.0 / n
+        w = 1.0 - np.abs(x - 1.0)
+    else:
+        raise ValueError(f'unsupported window {name!r}; '
+                         "use hann_window/hamming_window/blackman_window/bartlett_window")
+    return w.astype(np.float32)
+
+
 def stft_basis(n_fft: int, freq_cutoff: int, window: np.ndarray) -> np.ndarray:
     """Windowed real-DFT basis, shape (n_fft, 1, 2*freq_cutoff).
 
@@ -160,8 +182,7 @@ class LogFilterBankFrontend:
         return (signal_len + 2 * (self.freq_cutoff - 1) - self.nfft) // self.hop_length + 1
 
     def _constants(self):
-        assert self.window == 'hann_window', 'only hann windows are supported'
-        window = hann_window(self.win_length, periodic=self.window_periodic)
+        window = make_window(self.window, self.win_length, periodic=self.window_periodic)
         basis = stft_basis(self.nfft, self.freq_cutoff, window)  # (nfft, 1, 2*fc)
         mel = mel_filterbank(self.sample_rate, self.nfft, self.out_channels,
                              fmin=0, fmax=int(self.sample_rate / 2)).T  # (fc, n_mels)

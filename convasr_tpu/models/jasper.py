@@ -196,6 +196,10 @@ class JasperNet(nn.Module):
     normalize_features_legacy: bool = True
     normalize_features_temporal_mask: bool = True
     frontend: typing.Optional[LogFilterBankFrontend] = None
+    # SpecAugment policy applied to (normalized) features in training:
+    # (num_time_masks, time_mask_width, num_freq_masks, freq_mask_width);
+    # None = off. Requires an 'augment' rng stream (train/loop.py passes it).
+    spec_augment: typing.Optional[typing.Tuple[int, int, int, int]] = None
     dtype: typing.Any = jnp.float32
     bn_axis_name: typing.Optional[str] = None
     remat: bool = False  # rematerialize each block's activations in backward
@@ -260,6 +264,14 @@ class JasperNet(nn.Module):
                 mask = temporal_mask(x.shape[1], lengths)
             x = masked_instance_norm(x, mask=mask, eps=self.normalize_features_eps,
                                      legacy=self.normalize_features_legacy)
+        if training and self.spec_augment is not None:
+            from ..frontend.augment import spec_augment
+            n_t, w_t, n_f, w_f = self.spec_augment
+            lengths = compute_output_lengths(x.shape[1], xlen) if xlen is not None else None
+            x = spec_augment(x, self.make_rng('augment'),
+                             num_time_masks=n_t, time_mask_width=w_t,
+                             num_freq_masks=n_f, freq_mask_width=w_f,
+                             lengths=lengths)
         x = x.astype(self.dtype)
 
         plan = self._block_plan()

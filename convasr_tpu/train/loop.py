@@ -111,9 +111,14 @@ def make_train_step(model, optimizer, bpe_only: bool = False,
 
     def loss_fn(params, batch_stats, batch, key):
         variables = {'params': params, 'batch_stats': batch_stats}
+        # three independent training rng streams: dropout masks, SpecAugment
+        # masks, and the frontend dither (reference applies dither only in
+        # training, models.py:571-572)
+        k_dropout, k_augment, k_dither = jax.random.split(key, 3)
         outputs, mutated = model.apply(
             variables, batch['x'], xlen=batch['xlen'], training=True,
-            mutable=['batch_stats'], rngs={'dropout': key})
+            mutable=['batch_stats'], rngs={'dropout': k_dropout, 'augment': k_augment},
+            dither_key=k_dither)
         loss_per_utt = compute_losses(outputs, batch['y'], batch['ylen'], bpe_only=bpe_only)
         loss = jnp.mean(loss_per_utt)
         lp0 = outputs['log_probs'][0]

@@ -174,3 +174,49 @@ class TestMaskHelpers:
         import jax.numpy as jnp
         m = np.asarray(temporal_mask(5, jnp.asarray([3, 5])))
         assert m.tolist() == [[True, True, True, False, False], [True] * 5]
+
+
+class TestWindows:
+    """--window support beyond hann (reference models.py:499 resolves any
+    torch.*_window; VERDICT r1 #9)."""
+
+    @pytest.mark.parametrize('name', ['hann_window', 'hamming_window',
+                                      'blackman_window', 'bartlett_window'])
+    def test_matches_torch_window(self, name):
+        from convasr_tpu.frontend.logmel import make_window
+        ref = getattr(torch, name)(320, periodic=True).numpy()
+        np.testing.assert_allclose(make_window(name, 320, periodic=True), ref, atol=1e-6)
+
+    @pytest.mark.parametrize('name', ['hamming_window', 'blackman_window'])
+    def test_frontend_parity_per_window(self, name):
+        import jax.numpy as jnp
+        from convasr_tpu.frontend.logmel import make_window
+        fe = LogFilterBankFrontend(out_channels=64, sample_rate=8000,
+                                   window_size=0.02, window_stride=0.01,
+                                   dither=0.0, window=name)
+        rng = np.random.RandomState(0)
+        x = (0.1 * rng.randn(2, 8000)).astype(np.float32)
+        ours = np.asarray(fe(jnp.asarray(x))).transpose(0, 2, 1)
+
+        # torch oracle with the same window
+        xt = torch.as_tensor(x)
+        peak = xt.abs().max(dim=-1, keepdim=True).values + 1e-5
+        xt = xt / peak
+        xt = torch.cat([xt[..., :1], xt[..., 1:] - fe.preemphasis * xt[..., :-1]], dim=-1)
+        pad = fe.freq_cutoff - 1
+        xt = torch.nn.functional.pad(xt.unsqueeze(1), (pad, 0), mode='reflect').squeeze(1)
+        xt = torch.nn.functional.pad(xt, (0, pad))
+        window = torch.as_tensor(make_window(name, fe.win_length))
+        stft = torch.stft(xt, fe.nfft, hop_length=fe.hop_length,
+                          win_length=fe.win_length, window=window,
+                          center=False, return_complex=True)
+        power = stft.real ** 2 + stft.imag ** 2
+        mel = torch.as_tensor(mel_filterbank(fe.sample_rate, fe.nfft, fe.out_channels,
+                                             fmin=0, fmax=int(fe.sample_rate / 2)))
+        ref = torch.log(mel @ power + fe.eps).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+    def test_unknown_window_raises(self):
+        from convasr_tpu.frontend.logmel import make_window
+        with pytest.raises(ValueError):
+            make_window('kaiser_window', 320)

@@ -66,10 +66,17 @@ def build_text_pipelines(args):
 
 
 def build_model_and_frontend(args, text_pipelines):
-    frontend = LogFilterBankFrontend(
-        out_channels=args.num_input_features, sample_rate=args.sample_rate,
-        window_size=args.window_size, window_stride=args.window_stride,
-        window=args.window, dither=args.dither)
+    if getattr(args, 'frontend', 'LogFilterBankFrontend') == 'Wav2VecFrontend':
+        # learned wav2vec frontend (reference models.py:446-483, selected via
+        # --frontend-checkpoint train.py:913); a JasperNet SUBMODULE here
+        from ..frontend.wav2vec import Wav2VecFrontend
+        frontend = Wav2VecFrontend(out_channels=args.num_input_features,
+                                   sample_rate=args.sample_rate)
+    else:
+        frontend = LogFilterBankFrontend(
+            out_channels=args.num_input_features, sample_rate=args.sample_rate,
+            window_size=args.window_size, window_stride=args.window_stride,
+            window=args.window, dither=args.dither)
     num_classes = tuple(p.tokenizer.vocab_size for p in text_pipelines)
     decoder_type = 'bpe' if len(num_classes) > 1 else None
     overrides = {}
@@ -284,7 +291,7 @@ def main(args):
             if not isinstance(ckpt_args, dict):
                 ckpt_args = vars(ckpt_args)
             for key in ['model', 'sample_rate', 'window_size', 'window_stride',
-                        'num_input_features']:
+                        'num_input_features', 'frontend']:
                 if ckpt_args.get(key) is not None:
                     setattr(args, key, ckpt_args[key])
         except Exception as e:
@@ -332,16 +339,33 @@ def main(args):
     variables = model.init(jax.random.PRNGKey(args.seed), example_batch['x'],
                            xlen=example_batch['xlen'])
     mask = None
-    if args.freeze_backbone or args.freeze_decoder:
+    if args.freeze_backbone or args.freeze_decoder or args.freeze_frontend:
         from ..train.loop import freeze_mask
         mask = freeze_mask(variables['params'], freeze_backbone=args.freeze_backbone,
-                           freeze_decoder0=args.freeze_decoder)
+                           freeze_decoder0=args.freeze_decoder,
+                           freeze_frontend=args.freeze_frontend)
     optimizer = make_optimizer_with_accum(
         base_opt, max_grad_norm=args.max_norm,
         accumulate_steps=args.train_batch_accumulate_iterations, trainable_mask=mask)
     state = TrainState(step=jnp.zeros([], jnp.int32), params=variables['params'],
                        batch_stats=variables.get('batch_stats', {}),
                        opt_state=optimizer.init(variables['params']))
+    if args.frontend_checkpoint:
+        # initialize the wav2vec frontend from a fairseq checkpoint
+        # (spec: --frontend-checkpoint, train.py:355-361, 442-447)
+        from ..frontend.wav2vec import convert_fairseq_checkpoint
+        layer_kw = {}
+        if hasattr(frontend, 'feature_layers'):
+            layer_kw = dict(feature_layers=frontend.feature_layers,
+                            aggregator_layers=frontend.aggregator_layers)
+        converted = convert_fairseq_checkpoint(args.frontend_checkpoint, **layer_kw)
+        params = dict(state.params)
+        # two-tree map validates the converted structure matches the module
+        params['frontend'] = jax.tree.map(
+            lambda a, b: jnp.asarray(b).astype(a.dtype),
+            state.params['frontend'], converted)
+        state = state.replace(params=params)
+        _print(f'loaded wav2vec frontend weights from {args.frontend_checkpoint}')
     epoch_start, sampler_state = 0, None
     if args.checkpoint:
         payload, meta = ckpt_lib.restore_checkpoint(args.checkpoint) \
@@ -558,6 +582,12 @@ def build_parser():
     parser.add_argument('--finetune', action='store_true',
                         help='keep CLI hyper-params instead of the checkpoint args')
     parser.add_argument('--model', default='JasperNetBig')
+    parser.add_argument('--frontend', default='LogFilterBankFrontend',
+                        choices=['LogFilterBankFrontend', 'Wav2VecFrontend'],
+                        help='acoustic frontend (spec: reference --frontend)')
+    parser.add_argument('--frontend-checkpoint',
+                        help='fairseq wav2vec checkpoint to initialize the '
+                             'Wav2VecFrontend (spec: train.py:913)')
     parser.add_argument('--train-data-path', nargs='*', default=[])
     parser.add_argument('--train-data-mixing', nargs='*', type=float, default=None)
     parser.add_argument('--val-data-path', nargs='*', default=[])
@@ -625,6 +655,8 @@ def build_parser():
                         help='freeze the first N backbone blocks')
     parser.add_argument('--freeze-decoder', action='store_true',
                         help='freeze the char decoder head')
+    parser.add_argument('--freeze-frontend', action='store_true',
+                        help='freeze a learned (wav2vec) frontend during training')
     parser.add_argument('--exphtml', action='store_true',
                         help='append experiment-dashboard events + regenerate index.html')
     parser.add_argument('--tensorboard', action='store_true',

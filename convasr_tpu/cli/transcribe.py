@@ -54,11 +54,19 @@ def setup(args):
         if ckpt_args.get(key) is not None:
             setattr(args, key, ckpt_args[key])
 
-    frontend = LogFilterBankFrontend(
-        out_channels=args.num_input_features, sample_rate=args.sample_rate,
-        window_size=args.window_size, window_stride=args.window_stride,
-        window=getattr(args, 'window', 'hann_window'),
-        dither=args.dither, normalize_signal_enabled=True)
+    if ckpt_args.get('frontend') == 'Wav2VecFrontend':
+        # trained wav2vec frontend: a model SUBMODULE whose weights ride in
+        # the checkpoint's params['frontend'] (reference --frontend-checkpoint,
+        # train.py:355-361, models.py:446-483)
+        from ..frontend.wav2vec import Wav2VecFrontend
+        frontend = Wav2VecFrontend(out_channels=args.num_input_features,
+                                   sample_rate=args.sample_rate)
+    else:
+        frontend = LogFilterBankFrontend(
+            out_channels=args.num_input_features, sample_rate=args.sample_rate,
+            window_size=args.window_size, window_stride=args.window_stride,
+            window=getattr(args, 'window', 'hann_window'),
+            dither=args.dither, normalize_signal_enabled=True)
 
     text_config = ProcessingPipeline.load_config(ckpt_args.get('text_config', args.text_config))
     pipeline_names = ckpt_args.get('text_pipelines', args.text_pipelines)
@@ -70,7 +78,7 @@ def setup(args):
     from ..models.jasper import JasperNet
     model_fields = {f.name for f in JasperNet.__dataclass_fields__.values()} \
         - {'num_input_features', 'num_classes', 'frontend', 'dtype', 'bn_axis_name',
-           'decoder_type'}
+           'decoder_type', 'spec_augment'}  # spec_augment in args is the bool flag
     overrides = {k: v for k, v in ckpt_args.items() if k in model_fields}
     model = create_model(model_name, num_input_features=args.num_input_features,
                          num_classes=(text_pipeline.tokenizer.vocab_size,),

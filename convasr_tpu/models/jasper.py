@@ -195,7 +195,9 @@ class JasperNet(nn.Module):
     normalize_features_eps: float = float(np.finfo(np.float16).tiny)
     normalize_features_legacy: bool = True
     normalize_features_temporal_mask: bool = True
-    frontend: typing.Optional[LogFilterBankFrontend] = None
+    # either the static log-mel frontend (dataclass, no params) or a learned
+    # nn.Module frontend (wav2vec — params under variables['params']['frontend'])
+    frontend: typing.Any = None
     # SpecAugment policy applied to (normalized) features in training:
     # (num_time_masks, time_mask_width, num_freq_masks, freq_mask_width);
     # None = off. Requires an 'augment' rng stream (train/loop.py passes it).
@@ -254,7 +256,12 @@ class JasperNet(nn.Module):
             if xlen is not None:
                 lengths = compute_output_lengths(x.shape[-1], xlen)
                 mask = temporal_mask(x.shape[-1], lengths)
-            x = self.frontend(x, mask=mask, dither_key=dither_key)
+            if isinstance(self.frontend, nn.Module):
+                # learned frontend (wav2vec): a SUBMODULE — its params live in
+                # variables['params']['frontend'], never baked into the jit
+                x = self.frontend(x, mask=mask)
+            else:
+                x = self.frontend(x, mask=mask, dither_key=dither_key)
 
         assert x.ndim == 3, 'features expected as (B, T, C)'
         if self.normalize_features:

@@ -72,7 +72,8 @@ def freeze_mask(params, freeze_backbone: int = 0, freeze_decoder0: bool = False,
                 freeze_frontend: bool = False):
     """Boolean mask tree: True = trainable (spec: JasperNet.freeze,
     models.py:328-339 — freeze the first N backbone blocks and/or the char
-    decoder head; the frontend has no trainable params here)."""
+    decoder head; freeze_frontend freezes a learned wav2vec frontend's params,
+    the usual trained-frontend finetune setup)."""
     def rule(path, leaf):
         name = jax.tree_util.keystr(path)
         for i in range(freeze_backbone):
@@ -80,6 +81,8 @@ def freeze_mask(params, freeze_backbone: int = 0, freeze_decoder0: bool = False,
                     or name.startswith(f"['block{i}']"):
                 return False
         if freeze_decoder0 and 'decoder' in name and 'head0' in name:
+            return False
+        if freeze_frontend and "'frontend'" in name:
             return False
         return True
     return jax.tree_util.tree_map_with_path(rule, params)

@@ -14,7 +14,8 @@ import numpy as np
 
 
 def main(args):
-    from ..infra.utils import enable_compilation_cache
+    from ..infra.utils import enable_compilation_cache, select_device
+    select_device(getattr(args, 'device', None))
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
@@ -112,6 +113,7 @@ def main(args):
 
 def build_parser():
     parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--device', default=None, choices=['cpu', 'tpu', 'axon'])
     parser.add_argument('--model', default='JasperNetBig')
     parser.add_argument('--num-input-features', type=int, default=64)
     parser.add_argument('--num-classes', type=int, default=38)

@@ -104,6 +104,27 @@ function save() {
     print(html_path)
 
 
+def cmd_diarization(input_path, output_path, debug_audio, sample_rate):
+    """Diarization HTML report (spec: vis.py:123-144)."""
+    with open(input_path) as f:
+        diarization_transcript = json.load(f)
+    print(report.diarization(diarization_transcript,
+                             output_path or (input_path + '.html'),
+                             debug_audio=debug_audio, sample_rate=sample_rate))
+
+
+def cmd_audiosample(input_path, output_path, k, dataset_root, sample_rate):
+    """K random playable samples per group (spec: vis.py:612-639)."""
+    print(report.audiosample(input_path, output_path or (input_path + '.sample.html'),
+                             k, dataset_root=dataset_root, sample_rate=sample_rate))
+
+
+def cmd_words(train_data_path, val_data_path):
+    """Val words under-represented in train (spec: vis.py:721-729)."""
+    for w, val_count, train_count in report.words(train_data_path, val_data_path):
+        print(w, val_count, train_count)
+
+
 def build_parser():
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest='cmd', required=True)
@@ -136,6 +157,26 @@ def build_parser():
     c = sub.add_parser('summary')
     c.add_argument('input_path')
     c.set_defaults(func=cmd_summary)
+
+    c = sub.add_parser('diarization')
+    c.add_argument('input_path')
+    c.add_argument('--output-path', '-o')
+    c.add_argument('--debug-audio', action='store_true')
+    c.add_argument('--sample-rate', type=int, default=8000)
+    c.set_defaults(func=cmd_diarization)
+
+    c = sub.add_parser('audiosample')
+    c.add_argument('input_path')
+    c.add_argument('--output-path', '-o')
+    c.add_argument('-K', dest='k', type=int, default=10)
+    c.add_argument('--dataset-root', default='')
+    c.add_argument('--sample-rate', type=int, default=8000)
+    c.set_defaults(func=cmd_audiosample)
+
+    c = sub.add_parser('words')
+    c.add_argument('train_data_path')
+    c.add_argument('val_data_path')
+    c.set_defaults(func=cmd_words)
 
     c = sub.add_parser('label')
     c.add_argument('input_path')

@@ -98,10 +98,11 @@ def transcript(html_path: str, sample_rate: int, mono: bool, transcript,
                 f'<td>{cer_str}</td></tr>')
 
     rows = '\n'.join(row(i, t) for i, t in enumerate(transcripts.sort(transcript)))
+    barcode = fmt_svg_speaker_barcode(transcript)  # speaker strip (vis.py:147-189)
     with open(html_path, 'w') as f:
         f.write(f'<html><head>{META_CHARSET}<style>{_style()}</style></head><body>'
                 f'<script>{PLAY_SCRIPT}</script>'
-                f'<h4>{audio_name}</h4>{players}<hr/>'
+                f'<h4>{audio_name}</h4>{players}{barcode}<hr/>'
                 f'<table><tr><th>#</th><th>speaker</th><th>time</th>'
                 f'<th>hyp</th><th>ref</th><th>cer</th></tr>{rows}</table>'
                 f'</body></html>')
@@ -165,7 +166,11 @@ def errors(html_path: str, runs: typing.Dict[str, typing.List[dict]],
         for name in names:
             t = entries.get(name, {})
             cer = t.get('cer', transcripts._er_missing)
-            cells.append(f'<td>{t.get("hyp", "")}</td>')
+            # detailed analyses carry a word alignment: render the color-coded
+            # hyp (spec: fmt_alignment in error tables, vis.py:738-755)
+            hyp_html = (fmt_alignment(t['alignment'], hyp=True, tag='<div>')
+                        if t.get('alignment') else t.get('hyp', ''))
+            cells.append(f'<td>{hyp_html}</td>')
             cells.append(f'<td>{cer:.2%}</td>' if cer != transcripts._er_missing
                          else '<td>N/A</td>')
         rows.append('<tr>' + ''.join(cells) + '</tr>')
@@ -185,6 +190,168 @@ def histc_vega(vals, min_val=0.0, max_val=1.0, bins=20) -> dict:
         mark='bar',
         encoding=dict(x=dict(field='x', type='quantitative'),
                       y=dict(field='y', type='quantitative')))
+
+
+def fmt_svg_speaker_barcode(transcript, begin: float = None, end: float = None,
+                            colors=SPEAKER_COLORS, height_px: int = 15) -> str:
+    """Inline-SVG speaker barcode strip (spec: vis.py:147-189). The reference
+    renders a matplotlib JPEG (fmt_img_speaker_barcode) or an SVG
+    (fmt_svg_speaker_barcode); SVG needs no matplotlib and stays crisp, so it
+    is the single implementation here."""
+    if not transcript:
+        return ''
+    begin = begin if begin is not None else min(t.get('begin', 0.0) for t in transcript)
+    end = end if end is not None else max(t.get('end', 0.0) for t in transcript)
+    duration = max(end - begin, 1e-6)
+
+    def color(speaker):
+        s = speaker if isinstance(speaker, int) and speaker >= 0 else 0
+        return colors[s % len(colors)]
+
+    rects = '\n'.join(
+        '<rect data-begin="{b}" data-end="{e}" x="{x:.4f}" width="{w:.4f}" height="1" '
+        'style="fill:{c}"><title>speaker{s} | {b:.2f} - {e:.2f} [{d:.2f}]</title></rect>'
+        .format(x=(t.get('begin', 0.0) - begin) / duration,
+                w=max(t.get('end', 0.0) - t.get('begin', 0.0), 0.0) / duration,
+                c=color(t.get('speaker', transcripts.speaker_missing)),
+                s=t.get('speaker', transcripts.speaker_missing),
+                b=t.get('begin', 0.0), e=t.get('end', 0.0),
+                d=t.get('end', 0.0) - t.get('begin', 0.0))
+        for t in transcript)
+    return (f'<div style="width:100%; height:{height_px}px; border:1px solid black">'
+            f'<svg viewBox="0 0 1 1" style="width:100%; height:100%" '
+            f'preserveAspectRatio="none">{rects}</svg></div>')
+
+
+def diarization(diarization_transcript: typing.List[dict], html_path: str,
+                debug_audio: bool = False, sample_rate: int = 8000) -> str:
+    """Diarization report (spec: vis.py:123-144): per-file ref/hyp speaker
+    barcodes + SER/DER table with an average row. Each entry: dict(audio_name,
+    audio_path?, ref=[segments], hyp=[segments], ser, der, der_)."""
+    def avg(key):
+        vals = [t.get(key, 0.0) for t in diarization_transcript]
+        return sum(vals) / max(len(vals), 1)
+
+    rows = ['<tr><th>audio_name</th><th>duration</th><th>refhyp</th><th>ser</th>'
+            '<th>der</th><th>der_</th><th>audio</th><th>barcode</th></tr>',
+            '<tr class="border-hyp"><td>{n}</td><td>{dur:.2f}</td><td>avg</td>'
+            '<td>{ser:.2f}</td><td>{der:.2f}</td><td>{der_:.2f}</td><td></td><td></td></tr>'
+            .format(n=len(diarization_transcript),
+                    dur=sum(max((s.get('end', 0.0) for s in t.get('ref', [])), default=0.0)
+                            for t in diarization_transcript),
+                    ser=avg('ser'), der=avg('der'), der_=avg('der_'))]
+    for dt in diarization_transcript:
+        end = max((s.get('end', 0.0) for s in dt.get('ref', []) + dt.get('hyp', [])),
+                  default=0.0)
+        audio_html = ''
+        if debug_audio and dt.get('audio_path'):
+            try:
+                signal, sr = audio_io.read_audio(dt['audio_path'],
+                                                 sample_rate=sample_rate, mono=True)
+                audio_html = (f'<audio controls style="width:100%" '
+                              f'src="{audio_data_uri(signal[0], sr)}"></audio>')
+            except Exception:
+                audio_html = '(audio unavailable)'
+        for refhyp in ['ref', 'hyp']:
+            rows.append(
+                '<tr class="border-{rh}"><td class="nowrap">{an}</td><td>{end:.2f}</td>'
+                '<td>{rh}</td><td>{ser:.2f}</td><td>{der:.2f}</td><td>{der_:.2f}</td>'
+                '<td>{audio}</td><td>{barcode}</td></tr>'.format(
+                    rh=refhyp, an=dt.get('audio_name', ''), end=end,
+                    ser=dt.get('ser', 0.0), der=dt.get('der', 0.0),
+                    der_=dt.get('der_', 0.0),
+                    audio=audio_html if refhyp == 'ref' else '',
+                    barcode=fmt_svg_speaker_barcode(dt.get(refhyp, []), 0.0, end)))
+    with open(html_path, 'w') as f:
+        f.write(f'<html><head>{META_CHARSET}<style>.nowrap{{white-space:nowrap}} '
+                'table {border-collapse:collapse} '
+                '.border-hyp {border-bottom: 2px black solid}</style></head><body>'
+                '<table>' + '\n'.join(rows) + '</table></body></html>')
+    return html_path
+
+
+def audiosample(input_path: str, output_path: str, K: int,
+                dataset_root: str = '', sample_rate: int = 8000) -> str:
+    """K random playable samples per 'group' of a transcript json
+    (spec: vis.py:612-639)."""
+    import itertools
+    import os
+    import random
+    with open(input_path) as f:
+        transcript = json.load(f)
+    group_of = lambda t: t.get('group', 'group not found')
+    by_group = {k: list(g) for k, g in itertools.groupby(
+        sorted(transcript, key=group_of), key=group_of)}
+    parts = [f'<html><head>{META_CHARSET}</head><body>']
+    for group, entries in sorted(by_group.items()):
+        parts.append(f'<h1>{group}</h1><table>')
+        random.seed(1)
+        random.shuffle(entries)
+        for t in entries[:K]:
+            audio_path = os.path.join(dataset_root, t.get('audio_path', ''))
+            # read_audio degrades to an empty signal on errors (reference
+            # audio.py:102-104), so check existence explicitly
+            if not os.path.exists(audio_path):
+                parts.append(f'<tr><td>file not found: {audio_path}</td></tr>')
+                continue
+            try:
+                signal, sr = audio_io.read_audio(audio_path, sample_rate=sample_rate,
+                                                 mono=True)
+                player = (f'<audio controls src='
+                          f'"{audio_data_uri(signal[0], sr)}"></audio>')
+            except Exception:
+                parts.append(f'<tr><td>file not found: {audio_path}</td></tr>')
+                continue
+            parts.append(f'<tr><td>{audio_path}</td><td>{player}</td>'
+                         f'<td>{t.get("ref", "")}</td></tr>')
+        parts.append('</table>')
+    parts.append('</body></html>')
+    with open(output_path, 'w') as f:
+        f.write('\n'.join(parts))
+    return output_path
+
+
+def words(train_data_path: str, val_data_path: str) -> typing.List[tuple]:
+    """Val words under-represented in train (spec: vis.py:721-729): returns
+    (word, val_count, train_count) for val words with count > 1 and fewer than
+    1000 train occurrences. Input files are the reference's csv layout
+    (`audio_path,transcript,...` per line)."""
+    import collections
+    count = lambda path: collections.Counter(
+        w for line in open(path) for w in line.split(',')[1].split()
+        if len(line.split(',')) > 1)
+    train_cnt, val_cnt = count(train_data_path), count(val_data_path)
+    return [(w, c, train_cnt[w]) for w, c in val_cnt.most_common()
+            if c > 1 and train_cnt[w] < 1000]
+
+
+ERROR_TAG_COLORS = dict(ok='green', missing='red', missing_ref='darkred',
+                        typo_easy='lightgreen', typo_hard='pink')
+
+
+def fmt_alignment(word_alignment, ref: bool = None, hyp: bool = None,
+                  flat: bool = False, tag: str = '<pre>', prefix: bool = True) -> str:
+    """Color-coded hyp/ref word alignment (spec: vis.py:738-755): each hyp
+    word gets a span tinted by its error tag (ok/missing/missing_ref/
+    typo_easy/typo_hard)."""
+    def span(word, t=None):
+        style = f'background-color:{ERROR_TAG_COLORS[t]}' if t in ERROR_TAG_COLORS else ''
+        return f'<span style="{style}" title="{t}">{word}</span>'
+
+    error_tag = lambda w: w.get('type') or w.get('error_tag')
+    get_hyp = lambda w: w.get('_hyp_') or w.get('hyp', '')
+    get_ref = lambda w: w.get('_ref_') or w.get('ref', '')
+    if flat:
+        ref_, hyp_ = get_ref(word_alignment), get_hyp(word_alignment)
+    else:
+        ref_ = ' '.join(span(get_ref(w), 'ok' if error_tag(w) == 'ok' else None)
+                        for w in word_alignment)
+        hyp_ = ' '.join(span(get_hyp(w), error_tag(w)) for w in word_alignment)
+    ref_ = ('ref: ' if prefix else '') + ref_
+    hyp_ = ('hyp: ' if prefix else '') + hyp_
+    contents = '\n'.join([ref_] if ref is True else [hyp_] if hyp is True
+                         else [ref_, hyp_])
+    return tag + contents + tag.replace('<', '</')
 
 
 def tabulate(experiments: typing.List[dict], metric: str = 'cer') -> str:

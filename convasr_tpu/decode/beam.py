@@ -38,7 +38,8 @@ class ArpaLM:
         self.ngrams: typing.Dict[tuple, typing.Tuple[float, float]] = {}
         self.order = 0
         current = 0
-        with open(path) as f:
+        opener = __import__('gzip').open if str(path).endswith('.gz') else open
+        with opener(path, 'rt') as f:
             for line in f:
                 line = line.strip()
                 if not line or line.startswith('\\data\\'):
@@ -286,6 +287,18 @@ class BeamSearchDecoder:
         self.alpha, self.beta = beam_alpha, beam_beta
         self.cutoff_top_n = cutoff_top_n or len(self.labels)
         self.cutoff_prob = cutoff_prob
+        # the C++ loader reads ARPA TEXT; .arpa.gz is decompressed to a temp
+        # file transparently. Binary KenLM models must be converted offline
+        # (kenlm/build_binary has no reverse tool — keep the .arpa, see README
+        # "Language models").
+        if lm_path and str(lm_path).endswith('.gz'):
+            import gzip
+            import tempfile
+            with gzip.open(lm_path, 'rb') as f:
+                tmp = tempfile.NamedTemporaryFile(suffix='.arpa', delete=False)
+                tmp.write(f.read())
+                tmp.close()
+            lm_path = tmp.name
         self.lm_path = lm_path
         self.lib = load_native()
         if self.lib is not None:

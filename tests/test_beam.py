@@ -206,3 +206,29 @@ class TestGreedyDecoder:
         lp[0, :, 1] = 1.0
         out = GreedyDecoder().decode(lp, output_lengths=[3])
         assert out == [[1, 1, 1]]
+
+
+class TestGzippedArpa:
+    def test_gz_matches_plain(self, lm_path, tmp_path):
+        """.arpa.gz loads identically to plain ARPA in both the python LM and
+        the BeamSearchDecoder path (README 'Language models')."""
+        import gzip
+        gz_path = str(tmp_path / 'lm.arpa.gz')
+        with open(lm_path, 'rb') as f, gzip.open(gz_path, 'wb') as g:
+            g.write(f.read())
+        lm_plain, lm_gz = ArpaLM(lm_path), ArpaLM(gz_path)
+        assert lm_gz.order == lm_plain.order
+        assert lm_gz.ngrams == lm_plain.ngrams
+
+        from convasr_tpu.text import CharTokenizer
+        tok = CharTokenizer('абвгдежзийклмнопрстуфхцчшщъыьэюя')
+        dec_gz = BeamSearchDecoder(tok, lm_path=gz_path, beam_width=8,
+                                   beam_alpha=0.5, beam_beta=1.0)
+        dec_plain = BeamSearchDecoder(tok, lm_path=lm_path, beam_width=8,
+                                      beam_alpha=0.5, beam_beta=1.0)
+        rng = np.random.RandomState(0)
+        lp = np.log(np.random.RandomState(0).dirichlet(
+            np.ones(tok.vocab_size), size=(1, 20)).astype(np.float32))
+        out_gz = dec_gz.decode(lp, [20])
+        out_plain = dec_plain.decode(lp, [20])
+        assert repr(out_gz) == repr(out_plain)

@@ -104,6 +104,18 @@ def setup(args):
     def forward(x, xlen):
         return _forward(variables_dev, x, xlen)
 
+    # low-latency serving path: greedy argmax fused ON DEVICE, idx+confidence
+    # packed into ONE buffer so the (tunneled) host fetch is a single small
+    # roundtrip instead of the full (T', C) posterior (see benchmark_online)
+    @jax.jit
+    def _forward_fused(variables, x, xlen):
+        out = model.apply(variables, x, xlen=xlen)
+        lp = out['log_probs'][0]
+        return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
+                          jnp.max(lp, -1).astype(jnp.float32)], -1)  # (B, T', 2)
+
+    forward.fused = lambda x, xlen: _forward_fused(variables_dev, x, xlen)
+
     generator = GreedyCTCGenerator(blank_amount_to_space=args.replace_blank_series)
     decoder = None
     if getattr(args, 'decoder', 'GreedyDecoder') == 'BeamSearchDecoderDevice':

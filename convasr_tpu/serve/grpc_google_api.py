@@ -47,15 +47,27 @@ class SpeechServicer:
         import jax.numpy as jnp
         x = jnp.asarray(signal)  # (1, T)
         xlen = jnp.ones((1,), jnp.float32)
-        log_probs, logits, olen = self.forward(x, xlen)
-        log_probs, olen = np.asarray(log_probs), np.asarray(olen)
+        fused = getattr(self.forward, 'fused', None)
+        if fused is not None:
+            # ONE small device->host fetch: on-device argmax packed with the
+            # per-frame confidence (vs three buffers incl. the full posterior)
+            packed = np.asarray(fused(x, xlen))            # (1, T', 2)
+            idx = packed[..., 0].astype(np.int64)
+            n_frames = packed.shape[1]
+            olen = np.asarray([n_frames])
+            log_probs = None
+        else:
+            log_probs, logits, olen = self.forward(x, xlen)
+            log_probs, olen = np.asarray(log_probs), np.asarray(olen)
+            idx = None
+            n_frames = log_probs.shape[1]
 
         duration = signal.shape[-1] / sample_rate
-        ts = duration * np.linspace(0, 1, log_probs.shape[1])[None, :]
+        ts = duration * np.linspace(0, 1, n_frames)[None, :]
         [alts] = self.generator.generate(
             tokenizer=self.text_pipeline.tokenizer, log_probs=log_probs,
             begin=np.zeros(1), end=np.asarray([duration]), output_lengths=olen,
-            time_stamps=ts, segment_text_key='hyp')
+            time_stamps=ts, segment_text_key='hyp', most_probable_idx=idx)
         segments = transcripts.map_text(self.text_pipeline.postprocess, hyp=alts[0])
         hyp = transcripts.join(hyp=segments)
 

@@ -1,17 +1,26 @@
 """Pallas 1-D convolution: K-shifted MXU matmuls with a VMEM-resident
 accumulator.
 
-Status (measured on v5e, B=256, T=304, 768->768, K=25, chained device-time):
-XLA's conv        146 TFLOPs/s (37% of bf16 MXU peak)
-this kernel       149 TFLOPs/s (double-buffered halo DMA, 256-row dots)
-in-VMEM im2col    136 TFLOPs/s (patch-build copies dominate)
-XLA shifted-matmul 47 ms/conv  (accumulator round-trips HBM)
-int8 conv         no speedup (XLA does not hit the int8 MXU path here)
+Status — ROUND-2 CORRECTED MEASUREMENT (v5e, B=256, T=304, 768->768, K=25,
+full-dataflow chain: every iteration's complete output feeds the next, so
+XLA cannot dead-code-eliminate any part of the conv; per-iteration time from
+the slope between 10- and 40-iteration chains, which cancels the ~25-30 ms
+tunnel dispatch+fetch constant):
 
-The kernel MATCHES XLA but does not yet beat it — the per-tap dots (25 x
-12 MXU tiles) under-pipeline the systolic array; it is kept as the
-foundation for a weight-stationary multi-tap variant (round-2 work) and is
-NOT wired into the model by default. Design:
+XLA's conv        185 TFLOPs/s  = 94% of the v5e bf16 peak (197 TFLOPs/s)
+pure 4096^3 GEMM  181 TFLOPs/s  (the chip's own matmul speed-of-light)
+this kernel       169 TFLOPs/s  (86% of peak)
+
+Round 1 reported "146-149 TFLOPs/s = 37% of MXU peak": BOTH numbers were
+wrong. The 37% divided by 394, which is v5e's INT8 TOPS — the bf16 peak is
+197 TFLOPs/s. And the round-1 chain harness threaded only out[0,0,0] between
+iterations, letting XLA DCE most of each conv, which distorted absolute
+numbers. Conclusion: the conv is ALREADY at matmul speed-of-light for bf16 —
+there is no bf16 kernel headroom; the only remaining 2x lives in the int8
+MXU path (394 TOPS), which requires quantized inference.
+
+This kernel is kept as the foundation for an int8 variant and is NOT wired
+into the model by default (XLA's conv wins by ~9%). Design:
 
     grid = (cout_tiles, batch_tiles, time_tiles)   # cout SLOWEST so the
                                                    # weight tile stays resident

@@ -43,9 +43,31 @@ def expjson(root_dir: str, experiment_id: str, epoch=None, iteration=None,
     return path
 
 
+def git_push_dashboard(html_dir: str, repeat: int = 3, timeout: int = 5) -> bool:
+    """Commit + push the generated dashboard if html_dir is a git checkout
+    (spec: the reference's auto-git-push of the public/ dir, exphtml.py:226-236)."""
+    if not os.path.isdir(os.path.join(html_dir, '.git')):
+        return False
+    for _ in range(repeat):
+        try:
+            subprocess.check_call(['git', 'add', '-A'], cwd=html_dir, timeout=timeout)
+            subprocess.call(['git', 'commit', '-m', 'exphtml update'],
+                            cwd=html_dir, timeout=timeout)
+            subprocess.check_call(['git', 'push'], cwd=html_dir, timeout=timeout)
+            return True
+        except Exception:
+            time.sleep(1)
+    return False
+
+
 def exphtml(root_dir: str, html_dir: str = 'public',
-            strftime: str = '%Y-%m-%d %H:%M:%S') -> str:
-    """Aggregate all events into a standalone dashboard page."""
+            strftime: str = '%Y-%m-%d %H:%M:%S', git_push: bool = False) -> str:
+    """Aggregate all events into a standalone dashboard page.
+
+    Column names starting with '.' are HIDDEN by default (the reference's
+    strip_hidden/hide convention, exphtml.py:69-71,100-102) and can be toggled
+    from the page; rows are tag-filterable the same way.
+    """
     json_dir = os.path.join(root_dir, 'events')
     out_dir = os.path.join(root_dir, html_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -65,25 +87,34 @@ def exphtml(root_dir: str, html_dir: str = 'public',
     for e in events:
         by_experiment.setdefault(e.get('experiment_id', '?'), []).append(e)
 
-    metric_names = sorted({k for e in events for k in e.get('columns', {})})
+    strip_hidden = lambda name: name.lstrip('.')
+    # a column is hidden iff its most recent appearance is '.'-prefixed
+    metric_names = sorted({strip_hidden(k) for e in events for k in e.get('columns', {})})
+    hidden = {m for m in metric_names
+              if not any(m in e.get('columns', {}) for e in events)}
+    tags = sorted({e.get('tag') or 'default' for e in events})
     sections = []
     for exp_id, exp_events in sorted(by_experiment.items()):
         exp_events.sort(key=lambda e: e.get('time', 0))
         head = ('<tr><th>iteration</th>'
-                + ''.join(f'<th>{m}</th>' for m in metric_names)
+                + ''.join(f'<th class="col-{m}"{" hidden" if m in hidden else ""}>{m}</th>'
+                          for m in metric_names)
                 + '<th>git</th><th>tag</th></tr>')
         rows = []
         for e in exp_events:
+            cols_raw = {strip_hidden(k): v for k, v in e.get('columns', {}).items()}
             cols = ''.join(
-                '<td>{}</td>'.format(
-                    f'{e["columns"][m]:.4f}' if isinstance(e['columns'].get(m), float)
-                    else e['columns'].get(m, ''))
+                '<td class="col-{m}"{h}>{v}</td>'.format(
+                    m=m, h=' hidden' if m in hidden else '',
+                    v=f'{cols_raw[m]:.4f}' if isinstance(cols_raw.get(m), float)
+                    else cols_raw.get(m, ''))
                 for m in metric_names)
             link = (f'<a href="{e["git_http"]}">{e["git_revision"]}</a>'
                     if e.get('git_http') else e.get('git_revision', ''))
-            rows.append(f'<tr><td>{e.get("iteration", "")}</td>{cols}'
+            tag = e.get('tag') or 'default'
+            rows.append(f'<tr class="tag-{tag}"><td>{e.get("iteration", "")}</td>{cols}'
                         f'<td title="{e.get("git_comment", "")}">{link}</td>'
-                        f'<td>{e.get("tag", "")}</td></tr>')
+                        f'<td>{tag}</td></tr>')
         # inline vega-lite spec per metric for plotting (rendered if vega
         # scripts are reachable; degrade to tables offline)
         specs = []
@@ -98,9 +129,22 @@ def exphtml(root_dir: str, html_dir: str = 'public',
             + f'<script type="application/json" class="metrics">{json.dumps(specs)}</script>')
 
     generated = time.strftime(strftime, time.gmtime())
+    toggle_script = (
+        "var toggle = s => Array.from(document.querySelectorAll(s))"
+        ".map(e => {e.hidden = !e.hidden});")
+    col_toggles = ' '.join(
+        f'''<a href="#" onclick='toggle(".col-{m}"); return false'>{m}±</a>'''
+        for m in metric_names)
+    tag_toggles = ' '.join(
+        f'''<a href="#" onclick='toggle(".tag-{t}"); return false'>{t}±</a>'''
+        for t in tags)
     with open(html_path, 'w') as f:
         f.write('<html><head><meta charset="utf-8"><style>'
                 'td, th {padding: 2px 6px; font-family: monospace;}</style></head>'
-                f'<body><h4>experiments @ {generated} UTC</h4>'
+                f'<body><script>{toggle_script}</script>'
+                f'<h4>experiments @ {generated} UTC</h4>'
+                f'<p>columns: {col_toggles}</p><p>tags: {tag_toggles}</p>'
                 + '\n'.join(sections) + '</body></html>')
+    if git_push:
+        git_push_dashboard(out_dir)
     return html_path

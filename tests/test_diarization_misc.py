@@ -78,6 +78,28 @@ class TestExpHtml:
         html = open(html_path).read()
         assert 'exp1' in html and 'cer' in html and '0.2000' in html
 
+    def test_hidden_columns_and_tags(self, tmp_path):
+        from convasr_tpu.infra.exphtml import expjson, exphtml
+        root = str(tmp_path)
+        # '.debug' column is hidden-by-default (reference strip_hidden/hide
+        # convention); tag rows are toggleable
+        expjson(root, 'exp1', epoch=0, iteration=100,
+                columns={'cer': 0.25, '.debug': 1.0}, tag='baseline',
+                git_revision=False, name='a.json')
+        expjson(root, 'exp1', epoch=0, iteration=200,
+                columns={'cer': 0.20}, tag='tuned',
+                git_revision=False, name='b.json')
+        html = open(exphtml(root)).read()
+        assert 'class="col-debug" hidden' in html      # hidden column cells
+        assert 'class="col-cer">' in html              # visible column
+        assert 'tag-baseline' in html and 'tag-tuned' in html
+        assert 'toggle(".col-debug")' in html          # toggle link
+        assert 'toggle(".tag-baseline")' in html
+
+    def test_git_push_noop_without_repo(self, tmp_path):
+        from convasr_tpu.infra.exphtml import git_push_dashboard
+        assert git_push_dashboard(str(tmp_path)) is False
+
 
 class TestMetricsCLI:
     def test_analyze(self, capsys):

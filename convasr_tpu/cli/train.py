@@ -136,6 +136,18 @@ class TensorboardSink:
         if lr is not None:
             self.writer.add_scalar('train/lr', lr, iteration)
 
+    def weight_stats(self, iteration, params, prefix='weights'):
+        """Per-tensor histograms + norms (spec: train.py:60-117 logs weight/
+        grad norms and histograms every val interval)."""
+        if self.writer is None:
+            return
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            name = '/'.join(str(getattr(k, 'key', k)) for k in path)
+            arr = np.asarray(leaf, dtype=np.float32)
+            self.writer.add_histogram(f'{prefix}/{name}', arr, iteration)
+            self.writer.add_scalar(f'{prefix}_norm/{name}',
+                                   float(np.linalg.norm(arr)), iteration)
+
     def val_stats(self, iteration, dataset_name, stats: dict):
         if self.writer is None:
             return
@@ -531,6 +543,8 @@ def main(args):
                                    text_pipelines, error_analyzer, epoch=epoch,
                                    iteration=iteration, training=True,
                                    tensorboard=tensorboard)
+                if rank == 0 and args.log_weight_histograms:
+                    tensorboard.weight_stats(iteration, jax.device_get(state.params))
                 if not args.checkpoint_skip:
                     # every rank participates in the orbax save (multihost
                     # barriers); only the primary writes data/meta
@@ -666,6 +680,9 @@ def build_parser():
                         help='append experiment-dashboard events + regenerate index.html')
     parser.add_argument('--tensorboard', action='store_true',
                         help='write tensorboard events under the experiment dir')
+    parser.add_argument('--log-weight-histograms', action='store_true',
+                        help='per-tensor weight histograms + norms at every '
+                             'val interval (spec: train.py:60-117)')
     parser.add_argument('--adapt-bn', action='store_true',
                         help='re-estimate BN running stats on each val set before decoding')
     parser.add_argument('--replace-blank-series', type=int, default=8)

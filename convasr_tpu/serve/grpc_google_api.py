@@ -81,6 +81,57 @@ class SpeechServicer:
             channel_tag=1)])
 
 
+    def StreamingRecognize(self, request_iterator, context=None):
+        """Bidirectional streaming (beyond the reference, which implements
+        only unary Recognize — serve_google_api.py:26-59): audio chunks in,
+        interim + final StreamingRecognitionResults out."""
+        from .streaming import StreamingTranscriber
+        fused = getattr(self.forward, 'fused', None)
+        assert fused is not None, 'streaming needs the fused forward'
+        transcriber = None
+        interim_results = True
+        sample_rate_in = self.frontend.sample_rate
+
+        def to_response(events):
+            results = []
+            for e in events:
+                text = ' '.join(s['hyp'] for s in transcripts.map_text(
+                    self.text_pipeline.postprocess, hyp=[dict(hyp=e.text)])) \
+                    if e.text else ''
+                results.append(dict(
+                    alternatives=[dict(transcript=text, confidence=1.0)],
+                    is_final=e.is_final,
+                    result_end_time=mktime(e.end_time), channel_tag=1))
+            return pb2.StreamingRecognizeResponse(results=results)
+
+        for request in request_iterator:
+            if request.HasField('streaming_config'):
+                cfg = request.streaming_config
+                assert cfg.config.encoding == pb2.RecognitionConfig.LINEAR16, \
+                    'only LINEAR16 supported'
+                interim_results = cfg.interim_results
+                sample_rate_in = cfg.config.sample_rate_hertz or sample_rate_in
+                transcriber = StreamingTranscriber(
+                    fused, self.text_pipeline.tokenizer, self.frontend.sample_rate)
+                continue
+            if transcriber is None:  # config-less stream: defaults
+                transcriber = StreamingTranscriber(
+                    fused, self.text_pipeline.tokenizer, self.frontend.sample_rate)
+            signal, _ = audio_io.read_audio(
+                None, raw_bytes=request.audio_content,
+                raw_sample_rate=sample_rate_in, raw_num_channels=1,
+                raw_dtype='int16', sample_rate=self.frontend.sample_rate, mono=True)
+            events = transcriber.accept(signal[0])
+            if not interim_results:
+                events = [e for e in events if e.is_final]
+            if events:
+                yield to_response(events)
+        if transcriber is not None:
+            events = transcriber.flush()
+            if events:
+                yield to_response(events)
+
+
 def make_server(servicer: SpeechServicer, endpoint: str, num_workers: int = 10):
     import grpc
     handlers = grpc.method_handlers_generic_handler(SERVICE_NAME, {
@@ -88,6 +139,10 @@ def make_server(servicer: SpeechServicer, endpoint: str, num_workers: int = 10):
             servicer.Recognize,
             request_deserializer=pb2.RecognizeRequest.FromString,
             response_serializer=pb2.RecognizeResponse.SerializeToString),
+        'StreamingRecognize': grpc.stream_stream_rpc_method_handler(
+            servicer.StreamingRecognize,
+            request_deserializer=pb2.StreamingRecognizeRequest.FromString,
+            response_serializer=pb2.StreamingRecognizeResponse.SerializeToString),
     })
     server = grpc.server(concurrent.futures.ThreadPoolExecutor(max_workers=num_workers))
     server.add_generic_rpc_handlers((handlers,))
@@ -104,8 +159,17 @@ def make_client_stub(channel):
         response_deserializer=pb2.RecognizeResponse.FromString)
 
 
+def make_streaming_stub(channel):
+    import grpc
+    return channel.stream_stream(
+        f'/{SERVICE_NAME}/StreamingRecognize',
+        request_serializer=pb2.StreamingRecognizeRequest.SerializeToString,
+        response_deserializer=pb2.StreamingRecognizeResponse.FromString)
+
+
 def main(args):
-    from ..infra.utils import enable_compilation_cache
+    from ..infra.utils import enable_compilation_cache, select_device
+    select_device(getattr(args, 'device', None))
     enable_compilation_cache()
     from ..cli import transcribe as transcribe_cli
     text_pipeline, frontend, model, forward, generator, _ = transcribe_cli.setup(args)
@@ -119,6 +183,7 @@ def main(args):
 def build_parser():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('--checkpoint', required=True)
+    parser.add_argument('--device', default=None, choices=['cpu', 'tpu', 'axon'])
     parser.add_argument('--model')
     parser.add_argument('--endpoint', default='127.0.0.1:50000')
     parser.add_argument('--num-workers', type=int, default=10)

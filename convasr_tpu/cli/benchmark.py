@@ -68,27 +68,49 @@ def main(args):
             nonlocal state
             state, metrics = step(state, batch, jax.random.PRNGKey(1))
             return metrics['loss']
+    elif args.chained:
+        # DEVICE-TIME measurement: all iterations inside ONE jit, each
+        # feeding its full output back into the next input (no DCE), so the
+        # ~26-30 ms tunnel dispatch+fetch constant is paid once, not per
+        # iteration (methodology: scripts/perf_probe.py / CLAUDE.md)
+        @jax.jit
+        def chained(v, x, xlen):
+            def body(x, _):
+                lp = model.apply(v, x, xlen=xlen)['log_probs'][0]
+                return x * (1.0 + 1e-3 * jnp.mean(lp).astype(jnp.float32)), ()
+            x, _ = jax.lax.scan(body, x, None, length=args.iterations)
+            return x[0, :2]
+
+        def run():
+            return chained(variables, x, xlen)
     else:
         fwd = jax.jit(lambda v, x, xlen: model.apply(v, x, xlen=xlen)['log_probs'][0])
 
         def run():
             return fwd(variables, x, xlen)
 
+    chained_fwd = args.chained and not args.backward and not args.stablehlo
     print(f'warming up {args.warmup_iterations} iterations...')
     tic = time.time()
-    for _ in range(args.warmup_iterations):
+    for _ in range(1 if chained_fwd else args.warmup_iterations):
         np.asarray(run()).reshape(-1)[:1]
     print(f'warmup done in {time.time() - tic:.1f} sec')
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
-    times = []
-    for _ in range(args.iterations):
+    if chained_fwd:
+        # one dispatch runs all iterations on device; per-iter = elapsed/iters
         tic = time.perf_counter()
-        out = run()
-        np.asarray(out).reshape(-1)[:1]  # host sync (tunnel-safe)
-        times.append(time.perf_counter() - tic)
+        np.asarray(run()).reshape(-1)[:1]
+        times = np.full(args.iterations, (time.perf_counter() - tic) / args.iterations)
+    else:
+        times = []
+        for _ in range(args.iterations):
+            tic = time.perf_counter()
+            out = run()
+            np.asarray(out).reshape(-1)[:1]  # host sync (tunnel-safe)
+            times.append(time.perf_counter() - tic)
     if args.profile:
         jax.profiler.stop_trace()
         print(f'profile trace written to {args.profile}')
@@ -123,6 +145,10 @@ def build_parser():
     parser.add_argument('-B', type=int, default=64)
     parser.add_argument('-T', type=float, default=6.0, help='seconds per utterance')
     parser.add_argument('--iterations', type=int, default=20)
+    parser.add_argument('--chained', default=True,
+                        type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
+                        help='fwd: run all iterations inside one jit (device '
+                             'time, tunnel dispatch paid once)')
     parser.add_argument('--warmup-iterations', type=int, default=3)
     parser.add_argument('--backward', action='store_true')
     parser.add_argument('--stablehlo', help='benchmark a serialized export artifact')

@@ -94,6 +94,7 @@ def main(args):
     frontend = LogFilterBankFrontend(out_channels=num_features, sample_rate=sample_rate,
                                      window_size=ckpt_args.get('window_size', 0.02),
                                      window_stride=ckpt_args.get('window_stride', 0.01),
+                                     window=ckpt_args.get('window', 'hann_window'),
                                      dither=0.0)
     config = ProcessingPipeline.load_config(ckpt_args.get('text_config', args.text_config))
     pipeline = ProcessingPipeline.make(config, ckpt_args.get('text_pipelines',

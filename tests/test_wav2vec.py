@@ -239,3 +239,66 @@ class TestTrainCLI:
         log = (tmp_path / 'exp' / 'w2v' / 'log.txt').read_text()
         assert 'loaded wav2vec frontend weights' in log
         assert 'iter 1' in log
+
+    def test_transcribe_resumes_wav2vec_checkpoint(self, tmp_path, monkeypatch):
+        """A checkpoint trained with --frontend Wav2VecFrontend transcribes
+        through the transcribe CLI: the frontend choice is read back from the
+        checkpoint args and its weights from params['frontend']."""
+        import functools
+        from convasr_tpu.audio import write_audio
+        from convasr_tpu.cli import train as train_cli
+        from convasr_tpu.cli import transcribe as transcribe_cli
+        from convasr_tpu.frontend import wav2vec as w2v_mod
+        from convasr_tpu.models import zoo
+
+        small_fe = functools.partial(w2v_mod.Wav2VecFrontend,
+                                     feature_layers=FEAT_LAYERS,
+                                     aggregator_layers=AGG_LAYERS)
+        monkeypatch.setattr(w2v_mod, 'Wav2VecFrontend', small_fe)
+
+        orig = zoo.create_model
+        def small(name, **kw):
+            kw.update(base_width=4, repeat=1, num_subblocks=1, kernel_sizes=(3,),
+                      kernel_size_prologue=3, kernel_size_epilogue=3,
+                      out_width_factors=(2,), out_width_factors_large=(3, 3))
+            return orig(name, **kw)
+        monkeypatch.setattr(zoo, 'create_model', small)
+        monkeypatch.setattr(train_cli, 'create_model', small)
+        monkeypatch.setattr(transcribe_cli, 'create_model', small)
+
+        sr = 8000
+        rng = np.random.RandomState(6)
+        entries = []
+        for i in range(4):
+            path = str(tmp_path / f'u{i}.wav')
+            write_audio(path, (0.1 * rng.randn(1, sr // 2)).astype(np.float32), sr)
+            entries.append(dict(audio_path=path, ref=['привет', 'мир'][i % 2],
+                                begin=0.0, end=0.5))
+        train_json = str(tmp_path / 'train.json')
+        with open(train_json, 'w') as f:
+            json.dump(entries, f, ensure_ascii=False)
+
+        args = train_cli.build_parser().parse_args([
+            '--model', 'JasperNetSmall', '--num-input-features', str(AGG_LAYERS[-1][0]),
+            '--frontend', 'Wav2VecFrontend',
+            '--train-data-path', train_json,
+            '--experiments-dir', str(tmp_path / 'exp'), '--experiment-id', 'w2v',
+            '--train-batch-size', '2', '--iterations', '1',
+            '--log-iteration-interval', '1', '--val-iteration-interval', '1',
+            '--epochs', '1', '--bf16', 'false', '--optimizer', 'SGD', '--lr', '1e-3',
+            '--dropout', '0', '--num-workers', '0',
+            '--batch-time-padding-multiple', '128',
+            '--text-config', str(ROOT / 'configs' / 'ru_text_config.json'),
+            '--val-config', str(ROOT / 'configs' / 'ru_val_config.json')])
+        train_cli.main(args)
+        ckpts = sorted((tmp_path / 'exp' / 'w2v').glob('checkpoint_epoch*_iter*'))
+        assert ckpts
+
+        out_dir = tmp_path / 'out'
+        targs = transcribe_cli.build_parser().parse_args([
+            '--checkpoint', str(ckpts[-1]), '-i', train_json, '-o', str(out_dir),
+            '--output-json', '--bf16', 'false', '--num-workers', '0',
+            '--text-config', str(ROOT / 'configs' / 'ru_text_config.json')])
+        transcribe_cli.main(targs)
+        out_files = list(out_dir.glob('*.json'))
+        assert out_files, 'transcribe produced no output for the wav2vec model'

@@ -29,11 +29,17 @@ def mktime(t: float) -> dict:
 class SpeechServicer:
     """Recognize implementation over a jitted forward + greedy generator."""
 
-    def __init__(self, text_pipeline, frontend, forward, generator):
+    def __init__(self, text_pipeline, frontend, forward, generator,
+                 bucket_sec: float = 1.0):
         self.text_pipeline = text_pipeline
         self.frontend = frontend
         self.forward = forward
         self.generator = generator
+        # requests are zero-padded up to the next bucket so each distinct
+        # audio length does NOT compile a new program (first jit compile of
+        # the flagship takes 30-90 s over the tunnel; an unpadded server
+        # stalls on every new length). xlen carries the true fraction.
+        self.bucket = max(int(bucket_sec * frontend.sample_rate), 1)
 
     def Recognize(self, request, context=None):
         assert request.config.encoding == pb2.RecognitionConfig.LINEAR16, \
@@ -45,8 +51,12 @@ class SpeechServicer:
             raw_dtype='int16', sample_rate=self.frontend.sample_rate, mono=True)
 
         import jax.numpy as jnp
-        x = jnp.asarray(signal)  # (1, T)
-        xlen = jnp.ones((1,), jnp.float32)
+        T = signal.shape[-1]
+        T_pad = max((T + self.bucket - 1) // self.bucket * self.bucket, self.bucket)
+        padded = np.zeros((1, T_pad), signal.dtype)
+        padded[0, :T] = signal[0]
+        x = jnp.asarray(padded)  # (1, T_pad) — bucket-stable jit shape
+        xlen = jnp.asarray([T / T_pad], jnp.float32)
         fused = getattr(self.forward, 'fused', None)
         if fused is not None:
             # ONE small device->host fetch: on-device argmax packed with the
@@ -54,7 +64,7 @@ class SpeechServicer:
             packed = np.asarray(fused(x, xlen))            # (1, T', 2)
             idx = packed[..., 0].astype(np.int64)
             n_frames = packed.shape[1]
-            olen = np.asarray([n_frames])
+            olen = np.asarray([int(np.ceil(T / T_pad * n_frames))])
             log_probs = None
         else:
             log_probs, logits, olen = self.forward(x, xlen)
@@ -63,7 +73,8 @@ class SpeechServicer:
             n_frames = log_probs.shape[1]
 
         duration = signal.shape[-1] / sample_rate
-        ts = duration * np.linspace(0, 1, n_frames)[None, :]
+        # frame timeline spans the PADDED window; olen cuts at true length
+        ts = (T_pad / sample_rate) * np.linspace(0, 1, n_frames)[None, :]
         [alts] = self.generator.generate(
             tokenizer=self.text_pipeline.tokenizer, log_probs=log_probs,
             begin=np.zeros(1), end=np.asarray([duration]), output_lengths=olen,

@@ -101,3 +101,29 @@ class TestGrpcServe:
         assert isinstance(alt.transcript, str)
         for w in alt.words:
             assert w.end_time.seconds >= 0
+
+
+class TestServeBucketing:
+    def test_different_lengths_share_compiled_shape(self, server_setup):
+        """Requests of different durations must hit the SAME padded jit shape
+        (bucket padding) and still return sane word timestamps."""
+        import grpc
+        from convasr_tpu.serve import cloud_speech_pb2 as pb2
+        from convasr_tpu.serve.grpc_google_api import make_client_stub
+        sr = 8000
+        with grpc.insecure_channel(server_setup) as channel:
+            stub = make_client_stub(channel)
+            for dur in (0.31, 0.87):  # both pad to the 1.0 s bucket
+                audio = (np.random.RandomState(1).randn(int(sr * dur)) * 2000
+                         ).astype(np.int16)
+                resp = stub(pb2.RecognizeRequest(
+                    config=pb2.RecognitionConfig(
+                        encoding=pb2.RecognitionConfig.LINEAR16,
+                        sample_rate_hertz=sr, audio_channel_count=1),
+                    audio=pb2.RecognitionAudio(content=audio.tobytes())),
+                    timeout=120)
+                assert len(resp.results) == 1
+                for alt in resp.results[0].alternatives:
+                    for w in alt.words:
+                        end = w.end_time.seconds + w.end_time.nanos / 1e9
+                        assert end <= dur + 0.15, (dur, end)

@@ -186,12 +186,21 @@ def to_device_batch(meta_s_x, mesh=None):
 def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
                    error_analyzer, epoch=0, iteration=0, training=False,
                    tensorboard: 'TensorboardSink' = None):
-    """Greedy-decode validation + error analytics (spec: train.py:156-341)."""
+    """Greedy-decode validation + error analytics (spec: train.py:156-341).
+
+    Multi-process: every rank decodes its rank-strided share of the val
+    batches (process-local jit), analyzed results are gathered to all ranks
+    (allgather_bytes — the reference's padded all_gather + string sync,
+    utils.py:193-251), and only rank 0 aggregates/prints/writes outputs
+    (non-rank0 returns empty, train.py:236).
+    """
     _print = logging.getLogger('convasr_tpu.train').info
     eval_step = jax.jit(make_eval_step(model, bpe_only=args.bpe_only))
+    world, rank = jax.process_count(), jax.process_index()
     results = {}
     for name, dataset in val_datasets.items():
-        _print(f'{name}@{iteration}: examples: {len(dataset)}')
+        if rank == 0:
+            _print(f'{name}@{iteration}: examples: {len(dataset)}')
         if getattr(args, 'adapt_bn', False):
             # re-estimate BN running stats on this val set before decoding
             # (spec: --adapt-bn, train.py:182-186)
@@ -211,6 +220,8 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
         from ..data.loader import PrefetchLoader
         index_batches = [list(range(start, min(start + args.val_batch_size, len(dataset))))
                          for start in range(0, len(dataset), args.val_batch_size)]
+        if world > 1:  # each rank decodes its strided share of the batches
+            index_batches = index_batches[rank::world]
         loader = PrefetchLoader(dataset, index_batches,
                                 num_workers=getattr(args, 'num_workers', 4) or 0)
         for collated in loader:
@@ -244,6 +255,14 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
                 analyzed = pool.starmap(error_analyzer.analyze, analyze_jobs)
         else:
             analyzed = [error_analyzer.analyze(*job) for job in analyze_jobs]
+        if world > 1:
+            # gather every rank's analyzed utterances (all ranks participate)
+            from ..parallel.mesh import allgather_bytes
+            parts = allgather_bytes(
+                json.dumps(analyzed, ensure_ascii=False, default=float).encode())
+            if rank != 0:
+                continue  # next dataset still needs this rank's gather calls
+            analyzed = [t for p in parts for t in json.loads(p)]
         aggregated = error_analyzer.aggregate(
             analyzed, defaults=dict(mer_wordwise=-1, hyp_vocabness=-1, ref_vocabness=-1))
         _print(f'{name} | epoch {epoch} iter {iteration} | '
@@ -532,17 +551,16 @@ def main(args):
                     f.write(json.dumps(dict(epoch=epoch, iteration=iteration, **m)) + '\n')
             toc = time.time()
             if args.val_iteration_interval and iteration % args.val_iteration_interval == 0:
-                if rank == 0:
-                    # eval needs no collectives (params are replicated); only
-                    # rank 0 decodes+analyzes (spec: non-rank0 returns early,
-                    # train.py:236). device_get makes the state host-local so
-                    # the eval jit doesn't span non-addressable devices.
-                    evaluate_model(args, model,
-                                   jax.device_get(state) if world > 1 else state,
-                                   val_datasets, generator,
-                                   text_pipelines, error_analyzer, epoch=epoch,
-                                   iteration=iteration, training=True,
-                                   tensorboard=tensorboard)
+                # ALL ranks evaluate their strided share of the val batches
+                # and join the allgather; rank 0 aggregates/prints.
+                # device_get makes the state host-local so the per-rank eval
+                # jit doesn't span non-addressable devices.
+                evaluate_model(args, model,
+                               jax.device_get(state) if world > 1 else state,
+                               val_datasets, generator,
+                               text_pipelines, error_analyzer, epoch=epoch,
+                               iteration=iteration, training=True,
+                               tensorboard=tensorboard)
                 if rank == 0 and args.log_weight_histograms:
                     tensorboard.weight_stats(iteration, jax.device_get(state.params))
                 if not args.checkpoint_skip:
@@ -558,12 +576,11 @@ def main(args):
             sampler.batch_idx = 0
             if args.skip_on_epoch_end_evaluation:
                 continue
-            if rank == 0:
-                evaluate_model(args, model,
-                               jax.device_get(state) if world > 1 else state,
-                               val_datasets, generator, text_pipelines,
-                               error_analyzer, epoch=epoch, iteration=iteration, training=True,
-                               tensorboard=tensorboard)
+            evaluate_model(args, model,
+                           jax.device_get(state) if world > 1 else state,
+                           val_datasets, generator, text_pipelines,
+                           error_analyzer, epoch=epoch, iteration=iteration, training=True,
+                           tensorboard=tensorboard)
             if not args.checkpoint_skip:
                 ckpt_lib.save_checkpoint(
                     ckpt_lib.checkpoint_path(args.experiment_dir, epoch, iteration),

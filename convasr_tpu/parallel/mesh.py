@@ -86,6 +86,24 @@ def init_distributed(coordinator_address: str, num_processes: int, process_id: i
                                num_processes=num_processes, process_id=process_id)
 
 
+def allgather_bytes(data: bytes) -> typing.List[bytes]:
+    """Gather a variable-length byte blob from every process (replaces the
+    reference's shape-padded all_gather + TensorBackedStringArray.synchronize,
+    utils.py:193-211, 242-251): allgather lengths first, zero-pad to the max,
+    allgather payloads, strip."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+    if jax.process_count() == 1:
+        return [data]
+    lens = multihost_utils.process_allgather(np.asarray([len(data)], np.int32))
+    lens = np.asarray(lens).reshape(-1)
+    m = max(int(lens.max()), 1)
+    buf = np.zeros(m, np.uint8)
+    buf[:len(data)] = np.frombuffer(data, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    return [bytes(gathered[r, :int(lens[r])].tobytes()) for r in range(len(lens))]
+
+
 def barrier(name: str = 'convasr'):
     """Cross-process sync point (replaces dist.barrier, train.py:177,613,636)."""
     if jax.process_count() > 1:

@@ -118,3 +118,35 @@ class TestMultiProcess:
         # rank-0 dataset cache was written and consumed
         caches = list((multi_dir / 'run').glob('dataset_cache_*.pkl'))
         assert caches, 'rank-0 dataset cache missing'
+
+    def test_distributed_eval_gathers_all_utterances(self, corpus, tmp_path):
+        """Each rank decodes its strided share of the val batches; rank 0
+        gathers + writes outputs covering the WHOLE val set exactly once."""
+        tmp, train_json = corpus
+        multi_dir = tmp_path / 'multieval'
+        port = free_port()
+        procs = []
+        for pid in range(2):
+            argv = base_argv(train_json, multi_dir) + [
+                '--val-data-path', train_json,
+                '--iterations', '2', '--val-iteration-interval', '2',
+                '--val-batch-size', '4', '--output-json',
+                '--coordinator-address', f'localhost:{port}',
+                '--num-processes', '2', '--process-id', str(pid),
+                '--cpu-devices-per-process', '2']
+            procs.append(subprocess.Popen(
+                argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=clean_env(), cwd=str(ROOT)))
+        outs = [p.communicate(timeout=600) for p in procs]
+        for p, (o, e) in zip(procs, outs):
+            assert p.returncode == 0, e[-4000:]
+
+        log0 = (multi_dir / 'run' / 'log.node0.txt').read_text()
+        assert 'WER' in log0
+        [tj] = list((multi_dir / 'run').glob('transcripts_*_iter0000002.json'))
+        analyzed = json.loads(tj.read_text())
+        # all 8 val utterances present exactly once (4 from each rank)
+        paths = sorted(t['audio_path'] for t in analyzed)
+        with open(train_json) as f:
+            expected = sorted(e['audio_path'] for e in json.load(f))
+        assert paths == expected

@@ -168,19 +168,49 @@ def batches_from_sampler(dataset, sampler, rank=0, world_size=1, num_workers=0,
                               timeout=timeout)
 
 
-def to_device_batch(meta_s_x, mesh=None):
+def to_host_batch(meta_s_x):
     meta, s, x, xlen, y, ylen = meta_s_x
-    batch = dict(x=np.ascontiguousarray(x[:, 0, :]),
-                 xlen=np.asarray(xlen, np.float32),
-                 y=np.asarray(y, np.int32), ylen=np.asarray(ylen, np.int32))
+    return meta, dict(x=np.ascontiguousarray(x[:, 0, :]),
+                      xlen=np.asarray(xlen, np.float32),
+                      y=np.asarray(y, np.int32), ylen=np.asarray(ylen, np.int32))
+
+
+def put_batch(batch, mesh=None, stacked=False):
+    """Host batch -> device. `stacked` marks a (K, B, ...) multi-step stack
+    (batch dim is axis 1)."""
     if mesh is not None:
         # multi-process aware: assembles the global array from this host's
         # rows (jax.make_array_from_process_local_data) when world > 1
         from ..parallel.mesh import make_global_batch
-        batch = make_global_batch(mesh, batch)
-    else:
-        batch = jax.tree.map(jnp.asarray, batch)
-    return meta, batch
+        return make_global_batch(mesh, batch,
+                                 spec=P(None, 'data') if stacked else P('data'))
+    return jax.tree.map(jnp.asarray, batch)
+
+
+def to_device_batch(meta_s_x, mesh=None):
+    meta, batch = to_host_batch(meta_s_x)
+    return meta, put_batch(batch, mesh)
+
+
+def group_same_shape(batch_source, k: int):
+    """Yield (metas, [host_batches]) groups of up to k consecutive
+    SAME-SHAPE batches (the bucketing sampler keeps runs of equal padded
+    shapes, so groups are usually full). A shape change flushes early."""
+    group, metas, sig = [], [], None
+    for meta_s_x in batch_source:
+        meta, batch = to_host_batch(meta_s_x)
+        s = tuple(a.shape for a in batch.values())
+        if group and (s != sig or len(group) == k):
+            yield metas, group
+            group, metas = [], []
+        sig = s
+        group.append(batch)
+        metas.append(meta)
+        if len(group) == k:
+            yield metas, group
+            group, metas, sig = [], [], None
+    if group:
+        yield metas, group
 
 
 def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
@@ -491,18 +521,31 @@ def main(args):
         n_data = max(d for d in range(1, n_dev + 1) if args.train_batch_size % d == 0)
         mesh = make_mesh(n_data=n_data) if n_data > 1 else None
     train_step = make_train_step(model, optimizer, bpe_only=args.bpe_only)
+    # multi-step dispatch: scan K train steps inside ONE jit call — the
+    # per-dispatch overhead (26-30 ms through the axon tunnel) is paid once
+    # per K steps instead of per step
+    def multi_step_fn(state, batches, keys):
+        def body(state, inp):
+            b, k = inp
+            return train_step(state, b, k)
+        return jax.lax.scan(body, state, (batches, keys))
+
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         shard = NamedSharding(mesh, P('data'))
+        stacked_shard = NamedSharding(mesh, P(None, 'data'))
         if world > 1:
             # replicate across processes: every host computed the identical
             # init (same seed), so a host-local numpy -> replicated device_put
             # needs no communication
             state = jax.device_get(state)
         state = jax.device_put(state, repl)
+        multi_step = jax.jit(multi_step_fn, in_shardings=(repl, stacked_shard, repl),
+                             out_shardings=(repl, repl), donate_argnums=(0,))
         train_step = jax.jit(train_step, in_shardings=(repl, shard, repl),
                              out_shardings=(repl, repl), donate_argnums=(0,))
     else:
+        multi_step = jax.jit(multi_step_fn, donate_argnums=(0,))
         train_step = jax.jit(train_step, donate_argnums=(0,))
 
     tensorboard = TensorboardSink(
@@ -526,29 +569,65 @@ def main(args):
                                                 rank=rank, world_size=world,
                                                 num_workers=args.num_workers,
                                                 timeout=args.timeout or None)
-        for meta, batch in (to_device_batch(b, mesh) for b in batch_source):
+        k_max = max(getattr(args, 'steps_per_dispatch', 1), 1)
+
+        def k_cap():
+            # never let a multi-step dispatch overshoot a val/ckpt boundary
+            # or the --iterations cap
+            cap = k_max
+            if args.val_iteration_interval:
+                cap = min(cap, args.val_iteration_interval
+                          - iteration % args.val_iteration_interval)
+            if args.iterations:
+                cap = min(cap, max(args.iterations - iteration, 1))
+            return max(cap, 1)
+
+        for metas, host_batches in group_same_shape(batch_source, k_cap):
             data_time = time.time() - toc
-            key = jax.random.fold_in(jax.random.PRNGKey(args.seed), iteration)
-            if mesh is not None:
-                key = jax.device_put(np.asarray(key) if world > 1 else key, repl)
-            state, metrics_dev = train_step(state, batch, key)
-            iteration += 1
-            sampler.batch_idx += 1
-            if iteration % args.log_iteration_interval == 0:
-                m = {k: float(v) for k, v in jax.device_get(metrics_dev).items()}
-                step_time = time.time() - toc - data_time
-                perf.update(dict(loss=m['loss'], entropy=m['entropy'],
-                                 grad_norm=m['grad_norm'],
-                                 time_ms_data=data_time * 1e3,
-                                 time_ms_step=step_time * 1e3), prefix='train')
-                tensorboard.train_stats(iteration, m, lr=float(schedule(iteration)))
-                _print(f'epoch {epoch} iter {iteration} loss {m["loss"]:.4f} '
-                       f'entropy {m["entropy"]:.3f} grad_norm {m["grad_norm"]:.3f} '
-                       f'data {data_time * 1e3:.0f}ms step {step_time * 1e3:.0f}ms')
-                # per-rank JSON-lines sink (spec: log.node{rank}.json, train.py:40-58)
-                json_name = 'log.json' if world == 1 else f'log.node{rank}.json'
-                with open(os.path.join(args.experiment_dir, json_name), 'a') as f:
-                    f.write(json.dumps(dict(epoch=epoch, iteration=iteration, **m)) + '\n')
+            k = len(host_batches)
+            base_key = jax.random.PRNGKey(args.seed)
+            keys = np.stack([np.asarray(jax.random.fold_in(base_key, iteration + j))
+                             for j in range(k)])
+            if k == 1:
+                batch = put_batch(host_batches[0], mesh)
+                key = jnp.asarray(keys[0])
+                if mesh is not None:
+                    key = jax.device_put(np.asarray(key) if world > 1 else key, repl)
+                state, metrics_dev = train_step(state, batch, key)
+                stacked_metrics = False
+            else:
+                stacked = {kk: np.stack([hb[kk] for hb in host_batches])
+                           for kk in host_batches[0]}
+                batch = put_batch(stacked, mesh, stacked=True)
+                keys_dev = jax.device_put(keys, repl) if mesh is not None \
+                    else jnp.asarray(keys)
+                state, metrics_dev = multi_step(state, batch, keys_dev)
+                stacked_metrics = True
+            iteration_start = iteration
+            iteration += k
+            sampler.batch_idx += k
+            if any((iteration_start + j + 1) % args.log_iteration_interval == 0
+                   for j in range(k)):
+                mk = jax.device_get(metrics_dev)
+                step_time = (time.time() - toc - data_time) / k
+                for j in range(k):
+                    it = iteration_start + j + 1
+                    if it % args.log_iteration_interval:
+                        continue
+                    m = {kk: float(np.asarray(v).reshape(-1)[j if stacked_metrics else 0])
+                         for kk, v in mk.items()}
+                    perf.update(dict(loss=m['loss'], entropy=m['entropy'],
+                                     grad_norm=m['grad_norm'],
+                                     time_ms_data=data_time * 1e3 / k,
+                                     time_ms_step=step_time * 1e3), prefix='train')
+                    tensorboard.train_stats(it, m, lr=float(schedule(it)))
+                    _print(f'epoch {epoch} iter {it} loss {m["loss"]:.4f} '
+                           f'entropy {m["entropy"]:.3f} grad_norm {m["grad_norm"]:.3f} '
+                           f'data {data_time * 1e3 / k:.0f}ms step {step_time * 1e3:.0f}ms')
+                    # per-rank JSON-lines sink (spec: log.node{rank}.json)
+                    json_name = 'log.json' if world == 1 else f'log.node{rank}.json'
+                    with open(os.path.join(args.experiment_dir, json_name), 'a') as f:
+                        f.write(json.dumps(dict(epoch=epoch, iteration=it, **m)) + '\n')
             toc = time.time()
             if args.val_iteration_interval and iteration % args.val_iteration_interval == 0:
                 # ALL ranks evaluate their strided share of the val batches
@@ -666,6 +745,13 @@ def build_parser():
     parser.add_argument('--train-batch-size', type=int, default=64)
     parser.add_argument('--val-batch-size', type=int, default=64)
     parser.add_argument('--train-batch-accumulate-iterations', type=int, default=1)
+    parser.add_argument('--steps-per-dispatch', type=int, default=1,
+                        help='scan K same-shape train steps inside one jit '
+                             'dispatch. Helps when the device step is shorter '
+                             'than the dispatch latency (small models / tiny '
+                             'batches); for JasperNetBig at B=64 the async '
+                             'dispatch already hides behind the 183 ms step '
+                             '(measured: +1%%). val/ckpt boundaries respected')
     parser.add_argument('--num-workers', type=int, default=4,
                         help='audio-decode prefetch threads (0 = synchronous)')
     parser.add_argument('--timeout', type=float, default=0.0,

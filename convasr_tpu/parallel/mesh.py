@@ -111,7 +111,7 @@ def barrier(name: str = 'convasr'):
         multihost_utils.sync_global_devices(name)
 
 
-def make_global_batch(mesh: Mesh, batch: dict) -> dict:
+def make_global_batch(mesh: Mesh, batch: dict, spec: typing.Optional[P] = None) -> dict:
     """Assemble the global on-device batch from this process's local rows.
 
     Single-process: a plain device_put with batch-dim sharding. Multi-process:
@@ -121,7 +121,7 @@ def make_global_batch(mesh: Mesh, batch: dict) -> dict:
     multi-host feed (plain device_put fails when some mesh devices are
     non-addressable).
     """
-    sharding = batch_sharding(mesh)
+    sharding = batch_sharding(mesh) if spec is None else NamedSharding(mesh, spec)
     if jax.process_count() > 1:
         import numpy as np
         return jax.tree.map(

@@ -96,3 +96,30 @@ class TestTrainCLI:
                          train_data_path=[],
                          checkpoint=os.path.join(exp_dir, ckpts[-1]))
         train_cli.main(args)  # should run eval and return without error
+
+    def test_steps_per_dispatch_matches_single(self, corpus, monkeypatch, tmp_path):
+        """--steps-per-dispatch K scans K steps in one jit: the training
+        trajectory (per-step losses) must match K=1 exactly."""
+        from convasr_tpu.cli import train as train_cli
+        from convasr_tpu.models import zoo
+        orig = zoo.create_model
+
+        def small_create(name, **kw):
+            kw.setdefault('base_width', 8)
+            return orig(name, **kw)
+        monkeypatch.setattr(zoo, 'create_model', small_create)
+        monkeypatch.setattr(train_cli, 'create_model', small_create)
+
+        tmp, train_json, val_json = corpus
+        losses = {}
+        for K in (1, 3):
+            args = make_args(tmp, train_json, val_json,
+                             experiments_dir=str(tmp_path / f'exp{K}'),
+                             iterations=4, val_iteration_interval=0,
+                             checkpoint_skip=True, dropout=0.0,
+                             steps_per_dispatch=K, num_workers=0)
+            train_cli.main(args)
+            log = os.path.join(str(tmp_path / f'exp{K}'), 'smoke', 'log.json')
+            losses[K] = [json.loads(l)['loss'] for l in open(log)]
+        assert len(losses[3]) == len(losses[1]) == 4
+        np.testing.assert_allclose(losses[3], losses[1], rtol=1e-5, atol=1e-6)

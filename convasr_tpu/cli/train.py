@@ -369,6 +369,8 @@ def main(args):
     # rank-aware log files (spec: log.node{rank}, reference utils.py:34-51)
     log_name = 'log.txt' if world == 1 else f'log.node{rank}.txt'
     logger = setup_logging(os.path.join(args.experiment_dir, log_name))
+    if args.verbose:
+        logging.getLogger().setLevel(logging.DEBUG)
     if rank == 0:
         # persist the exact flag set (spec: train.py:722-724)
         with open(os.path.join(args.experiment_dir, 'args.json'), 'w') as f:

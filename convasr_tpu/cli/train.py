@@ -56,7 +56,9 @@ def expand_experiment_id(args):
         args.experiment_id = args.experiment_name or \
             '{model}_{optimizer}_lr{lr:.0e}_wd{weight_decay:.0e}_bs{train_batch_size}'.format(
                 **vars(args))
-    args.experiment_dir = os.path.join(args.experiments_dir, args.experiment_id)
+    # --experiment-dir is a template (spec: train.py:917 '{experiments_dir}/{experiment_id}')
+    args.experiment_dir = args.experiment_dir.format(
+        experiments_dir=args.experiments_dir, experiment_id=args.experiment_id)
     return args
 
 
@@ -76,7 +78,8 @@ def build_model_and_frontend(args, text_pipelines):
         frontend = LogFilterBankFrontend(
             out_channels=args.num_input_features, sample_rate=args.sample_rate,
             window_size=args.window_size, window_stride=args.window_stride,
-            window=args.window, dither=args.dither)
+            window=args.window, dither=args.dither,
+            dither0=getattr(args, 'dither0', 0.0))
     num_classes = tuple(p.tokenizer.vocab_size for p in text_pipelines)
     decoder_type = 'bpe' if len(num_classes) > 1 else None
     overrides = {}
@@ -97,10 +100,16 @@ def build_model_and_frontend(args, text_pipelines):
 
 def build_error_analyzer(args):
     word_tags, configs = {}, {}
+    # --word-tags file merged with the val config's tags (spec: train.py:516-518)
+    wt_path = getattr(args, 'word_tags', '')
+    if wt_path and os.path.exists(wt_path):
+        with open(wt_path) as f:
+            word_tags = json.load(f)
     if args.val_config and os.path.exists(args.val_config):
         with open(args.val_config) as f:
             val_config = json.load(f)
-        word_tags = val_config.get('word_tags', {})
+        for tag, words in val_config.get('word_tags', {}).items():
+            word_tags[tag] = word_tags.get(tag, []) + words
         configs = val_config.get('error_analyzer', {})
     vocab = set(map(str.strip, open(args.vocab))) if args.vocab and os.path.exists(args.vocab) \
         else set()
@@ -225,7 +234,8 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
     (non-rank0 returns empty, train.py:236).
     """
     _print = logging.getLogger('convasr_tpu.train').info
-    eval_step = jax.jit(make_eval_step(model, bpe_only=args.bpe_only))
+    eval_step = jax.jit(make_eval_step(model, bpe_only=args.bpe_only,
+                                       forward_x_only=getattr(args, 'forward_x_only', False)))
     world, rank = jax.process_count(), jax.process_index()
     results = {}
     for name, dataset in val_datasets.items():
@@ -303,8 +313,9 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
 
         if args.output_json or args.output_csv:
             os.makedirs(args.experiment_dir, exist_ok=True)
-            base = os.path.join(args.experiment_dir,
-                                f'transcripts_{name}_epoch{epoch:02d}_iter{iteration:07d}')
+            base = os.path.join(args.experiment_dir, args.val_transcripts_format.format(
+                val_dataset_name=name, epoch=epoch, iteration=iteration,
+                decoder='GreedyDecoder'))
             if args.output_json:
                 with open(base + '.json', 'w') as f:
                     json.dump(analyzed, f, ensure_ascii=False, indent=2, sort_keys=True,
@@ -313,6 +324,11 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
                 with open(base + '.csv', 'w') as f:
                     f.writelines('{audio_path},{hyp},{ref},{cer}\n'.format(**t)
                                  for t in analyzed)
+            if args.output_json and getattr(args, 'vis_errors_audio', False):
+                # errors html with embedded per-utterance audio (train.py:317)
+                from ..vis import report as vis_report
+                vis_report.errors(base + '.html', {name: analyzed},
+                                  debug_audio=True, sample_rate=args.sample_rate)
         if training:
             perf.update(dict(wer=aggregated['wer'], cer=aggregated['cer'],
                              loss=aggregated['loss']), prefix=f'val_{name}')
@@ -326,7 +342,9 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
                     iteration=iteration,
                     columns={f'{name}_cer': aggregated['cer'],
                              f'{name}_wer': aggregated['wer'],
-                             f'{name}_loss': aggregated['loss']})
+                             f'{name}_loss': aggregated['loss']},
+                    meta=dict(comment=getattr(args, 'comment', '')),
+                    git_http=getattr(args, 'githttp', None) or None)
             exphtml(args.experiments_dir)
     return results
 
@@ -373,7 +391,7 @@ def main(args):
         logging.getLogger().setLevel(logging.DEBUG)
     if rank == 0:
         # persist the exact flag set (spec: train.py:722-724)
-        with open(os.path.join(args.experiment_dir, 'args.json'), 'w') as f:
+        with open(os.path.join(args.experiment_dir, args.args), 'w') as f:
             json.dump({k: v for k, v in vars(args).items()}, f, ensure_ascii=False,
                       indent=2, sort_keys=True, default=str)
     _print = logging.getLogger('convasr_tpu.train').info
@@ -381,6 +399,12 @@ def main(args):
 
     text_pipelines = build_text_pipelines(args)
     model, frontend = build_model_and_frontend(args, text_pipelines)
+    if args.dump_model_config:
+        # print the resolved architecture and exit (spec: --dump-model-config)
+        import dataclasses
+        print(json.dumps({f.name: repr(getattr(model, f.name))
+                          for f in dataclasses.fields(model)}, indent=2))
+        return
     generator = GreedyCTCGenerator(blank_amount_to_space=args.replace_blank_series)
     error_analyzer = build_error_analyzer(args)
 
@@ -558,7 +582,7 @@ def main(args):
     _print(f'start training at epoch {epoch_start} iteration {iteration}')
     toc = time.time()
     for epoch in range(epoch_start, args.epochs):
-        sampler.set_epoch(epoch)
+        sampler.set_epoch(epoch + args.seed_sampler)
         if train_datasets is not None:
             from ..data.loader import prefetch_map
             mix_iter = sampler.shard(rank) if world > 1 else iter(sampler)
@@ -791,6 +815,31 @@ def build_parser():
     parser.add_argument('--adapt-bn', action='store_true',
                         help='re-estimate BN running stats on each val set before decoding')
     parser.add_argument('--replace-blank-series', type=int, default=8)
+    parser.add_argument('--seed-sampler', type=int, default=0,
+                        help='epoch offset for the sampler shuffle seed '
+                             '(spec: train.py:734)')
+    parser.add_argument('--word-tags', default='data/word_tags.json',
+                        help='extra word-tag json merged with the val config')
+    parser.add_argument('--dither0', type=float, default=0.0,
+                        help='dither BEFORE preemphasis (train.py:1019)')
+    parser.add_argument('--comment', default='', help='exphtml event comment')
+    parser.add_argument('--githttp', default='',
+                        help='git link template for exphtml, %%h = revision')
+    parser.add_argument('--experiment-dir',
+                        default='{experiments_dir}/{experiment_id}')
+    parser.add_argument('--args', default='args.json',
+                        help='filename for the persisted flag set')
+    parser.add_argument('--val-transcripts-format',
+                        default='transcripts_{val_dataset_name}_epoch{epoch:02d}_iter{iteration:07d}')
+    parser.add_argument('--vis-errors-audio', action='store_true',
+                        help='embed playable audio in the val errors html')
+    parser.add_argument('--dump-model-config', action='store_true')
+    parser.add_argument('--forward-x-only', action='store_true',
+                        help='eval forward without xlen masks (masking debug, '
+                             'train.py:1026)')
+    parser.add_argument('--log-weight-distribution', dest='log_weight_histograms',
+                        action='store_true',
+                        help='reference-name alias for --log-weight-histograms')
     parser.add_argument('--verbose', action='store_true')
     parser.add_argument('--dry', action='store_true',
                         help='build everything, run one batch, then exit')

@@ -156,6 +156,9 @@ class LogFilterBankFrontend:
     window_stride: float
     window: str = 'hann_window'
     dither: float = 1e-5
+    dither0: float = 0.0  # dithering BEFORE preemphasis (--dither0): the
+    #                       reference parses it but its application is
+    #                       commented out (models.py:571); implemented here
     preemphasis: float = 0.97
     eps: float = float(np.finfo(np.float16).tiny)
     normalize_signal_enabled: bool = True
@@ -196,6 +199,9 @@ class LogFilterBankFrontend:
         x = signal.astype(jnp.float32)
         if self.normalize_signal_enabled:
             x = normalize_signal(x)
+        if self.dither0 > 0 and dither_key is not None:
+            dither_key, key0 = jax.random.split(dither_key)
+            x = apply_dither(x, self.dither0, key0)
         if self.preemphasis > 0:
             x = jnp.concatenate([x[:, :1], x[:, 1:] - self.preemphasis * x[:, :-1]], axis=-1)
         x = apply_dither(x, self.dither, dither_key)

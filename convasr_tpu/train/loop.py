@@ -158,10 +158,14 @@ def make_train_step(model, optimizer, bpe_only: bool = False,
     return train_step
 
 
-def make_eval_step(model, bpe_only: bool = False):
+def make_eval_step(model, bpe_only: bool = False, forward_x_only: bool = False):
+    """forward_x_only drops the xlen masks (masking-debug flag,
+    reference --forward-x-only, train.py:1026)."""
     def eval_step(params, batch_stats, batch):
         outputs = model.apply({'params': params, 'batch_stats': batch_stats},
-                              batch['x'], xlen=batch['xlen'], training=False)
+                              batch['x'],
+                              xlen=None if forward_x_only else batch['xlen'],
+                              training=False)
         metrics = {}
         if 'y' in batch and batch['y'] is not None:
             loss_per_utt = compute_losses(outputs, batch['y'], batch['ylen'], bpe_only=bpe_only)

@@ -147,9 +147,24 @@ def logits(html_path: str, logit_entries: typing.List[dict], vocab=None) -> str:
 
 
 def errors(html_path: str, runs: typing.Dict[str, typing.List[dict]],
-           strip_audio_path_prefix: str = '') -> str:
+           strip_audio_path_prefix: str = '', debug_audio: bool = False,
+           sample_rate: int = 8000) -> str:
     """Multi-run error comparison table (spec: vis.py:454-609). `runs` maps
-    run-name -> list of analyzed dicts (hyp/ref/cer per utterance)."""
+    run-name -> list of analyzed dicts (hyp/ref/cer per utterance).
+    debug_audio embeds a playable <audio> per utterance (vis.py:317 flag)."""
+    import os
+
+    def audio_cell(audio_path):
+        if not (debug_audio and audio_path and os.path.exists(audio_path)):
+            return ''
+        try:
+            signal, sr = audio_io.read_audio(audio_path, sample_rate=sample_rate,
+                                             mono=True)
+            return (f'<td><audio controls preload="none" '
+                    f'src="{audio_data_uri(signal[0], sr)}"></audio></td>')
+        except Exception:
+            return '<td>(audio unavailable)</td>'
+
     names = list(runs)
     by_example: typing.Dict[str, dict] = {}
     for name in names:
@@ -157,12 +172,14 @@ def errors(html_path: str, runs: typing.Dict[str, typing.List[dict]],
             key = t.get('audio_path', '') + '|' + t.get('ref', '')
             by_example.setdefault(key, {})[name] = t
 
-    header = '<tr><th>ref</th>' + ''.join(
-        f'<th>{name} hyp</th><th>cer</th>' for name in names) + '</tr>'
+    header = ('<tr>' + ('<th>audio</th>' if debug_audio else '') + '<th>ref</th>'
+              + ''.join(f'<th>{name} hyp</th><th>cer</th>' for name in names)
+              + '</tr>')
     rows = []
     for key, entries in by_example.items():
         any_entry = next(iter(entries.values()))
-        cells = [f'<td class="reference">{any_entry.get("ref", "")}</td>']
+        cells = ([audio_cell(any_entry.get('audio_path'))] if debug_audio else []) \
+            + [f'<td class="reference">{any_entry.get("ref", "")}</td>']
         for name in names:
             t = entries.get(name, {})
             cer = t.get('cer', transcripts._er_missing)

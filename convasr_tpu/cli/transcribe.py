@@ -66,7 +66,8 @@ def setup(args):
             out_channels=args.num_input_features, sample_rate=args.sample_rate,
             window_size=args.window_size, window_stride=args.window_stride,
             window=getattr(args, 'window', 'hann_window'),
-            dither=args.dither, normalize_signal_enabled=True)
+            dither=args.dither, dither0=getattr(args, 'dither0', 0.0),
+            normalize_signal_enabled=args.normalize_signal)
 
     text_config = ProcessingPipeline.load_config(ckpt_args.get('text_config', args.text_config))
     pipeline_names = ckpt_args.get('text_pipelines', args.text_pipelines)
@@ -363,8 +364,12 @@ def main(args, ext_json=('.json', '.json.gz')):
                     payload[f'logits_{k}_shape'] = np.asarray(sp['shape'])
                 np.savez(path, **payload, ref=ref, hyp=hyp, audio_path=audio_path)
             else:
-                np.savez(path, **{f'logits_{k}': logits[k, :int(olen[k])]
-                                  for k in range(len(logits))},
+                # --logits-crop limits the saved frame range (transcribe.py:284-291)
+                crop = (slice(*args.logits_crop) if args.logits_crop else None)
+                np.savez(path, **{
+                    f'logits_{k}': logits[k, :int(olen[k])][crop]
+                    if crop else logits[k, :int(olen[k])]
+                    for k in range(len(logits))},
                          ref=ref, hyp=hyp, audio_path=audio_path)
             print(path)
 
@@ -407,6 +412,12 @@ def build_parser():
     parser.add_argument('--lm')
     parser.add_argument('--align', action='store_true')
     parser.add_argument('--logits', action='store_true')
+    parser.add_argument('--logits-crop', nargs=2, type=int, default=None,
+                        help='save only frames [begin, end) of each logit '
+                             'matrix (spec: transcribe.py:284-291)')
+    parser.add_argument('--normalize-signal', default=True,
+                        type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
+    parser.add_argument('--dither0', type=float, default=0.0)
     parser.add_argument('--logits-topk', type=int, default=0,
                         help='store only top-k classes per frame (sparse logits)')
     parser.add_argument('--align-boundary-words', action='store_true')

@@ -201,23 +201,29 @@ def to_device_batch(meta_s_x, mesh=None):
     return meta, put_batch(batch, mesh)
 
 
-def group_same_shape(batch_source, k: int):
+def group_same_shape(batch_source, k):
     """Yield (metas, [host_batches]) groups of up to k consecutive
     SAME-SHAPE batches (the bucketing sampler keeps runs of equal padded
-    shapes, so groups are usually full). A shape change flushes early."""
+    shapes, so groups are usually full). A shape change flushes early.
+    `k` may be a callable re-evaluated at each group start, so the cap can
+    track val/ckpt boundaries and the --iterations limit."""
+    k_fn = k if callable(k) else (lambda: k)
     group, metas, sig = [], [], None
+    cap = None
     for meta_s_x in batch_source:
         meta, batch = to_host_batch(meta_s_x)
         s = tuple(a.shape for a in batch.values())
-        if group and (s != sig or len(group) == k):
+        if group and s != sig:
             yield metas, group
-            group, metas = [], []
+            group, metas, cap = [], [], None
+        if cap is None:
+            cap = max(k_fn(), 1)
         sig = s
         group.append(batch)
         metas.append(meta)
-        if len(group) == k:
+        if len(group) >= cap:
             yield metas, group
-            group, metas, sig = [], [], None
+            group, metas, sig, cap = [], [], None, None
     if group:
         yield metas, group
 
@@ -366,12 +372,19 @@ def main(args):
     enable_compilation_cache()
     if args.checkpoint and not args.finetune:
         # model hyper-params come FROM the checkpoint on resume and override
-        # the CLI (spec: train.py:392-394); --finetune keeps the CLI values
+        # the CLI (spec: train.py:392-394); --finetune keeps the CLI values.
+        # orbax checkpoints keep their args in meta.json — read it directly
+        # (cheap, no payload restore)
         try:
-            _, ckpt_meta = (ckpt_lib.load_reference_checkpoint(args.checkpoint)
-                            if args.checkpoint.endswith('.pt')
-                            else ckpt_lib.restore_checkpoint(args.checkpoint))
-            ckpt_args = ckpt_meta.get('args', {}) if isinstance(ckpt_meta, dict) else {}
+            meta_path = os.path.join(args.checkpoint, 'meta.json')
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    ckpt_args = json.load(f).get('args', {})
+            else:
+                _, ckpt_meta = (ckpt_lib.load_reference_checkpoint(args.checkpoint)
+                                if args.checkpoint.endswith('.pt')
+                                else ckpt_lib.restore_checkpoint(args.checkpoint))
+                ckpt_args = ckpt_meta.get('args', {}) if isinstance(ckpt_meta, dict) else {}
             if not isinstance(ckpt_args, dict):
                 ckpt_args = vars(ckpt_args)
             for key in ['model', 'sample_rate', 'window_size', 'window_stride',
@@ -460,16 +473,31 @@ def main(args):
         _print(f'loaded wav2vec frontend weights from {args.frontend_checkpoint}')
     epoch_start, sampler_state = 0, None
     if args.checkpoint:
-        payload, meta = ckpt_lib.restore_checkpoint(args.checkpoint) \
-            if not args.checkpoint.endswith('.pt') else ckpt_lib.load_reference_checkpoint(args.checkpoint)
-        state = state.replace(params=payload['params'],
-                              batch_stats=payload.get('batch_stats', state.batch_stats))
-        if not args.skip_optimizer_reset and 'opt_state' in payload:
+        if args.checkpoint.endswith('.pt'):
+            payload, meta = ckpt_lib.load_reference_checkpoint(args.checkpoint)
+        else:
+            # restore WITH the live state as the structure target so optax
+            # namedtuple opt_state comes back with the right pytree structure
+            # (a target-less restore returns raw dicts that break
+            # optimizer.update on the first resumed step)
+            abstract = dict(params=state.params, batch_stats=state.batch_stats,
+                            opt_state=state.opt_state, step=state.step)
             try:
-                state = state.replace(opt_state=payload['opt_state'],
-                                      step=jnp.asarray(payload.get('step', 0)))
-            except Exception:
-                _print('optimizer state not restored (fresh optimizer)')
+                payload, meta = ckpt_lib.restore_checkpoint(args.checkpoint, abstract)
+            except Exception as e:
+                _print(f'structured restore failed ({e}); '
+                       'restoring weights only with a fresh optimizer')
+                payload, meta = ckpt_lib.restore_checkpoint(args.checkpoint)
+                payload.pop('opt_state', None)
+        state = state.replace(params=payload['params'],
+                              batch_stats=payload.get('batch_stats', state.batch_stats),
+                              step=jnp.asarray(payload.get('step', 0), jnp.int32))
+        # optimizer STATE (moments) is always restored when available; the
+        # reference's optimizer-options reset (train.py:681-684) is implicit
+        # here — optax reads lr/wd from the CLI schedule, so
+        # --skip-optimizer-reset is accepted for flag compatibility only
+        if 'opt_state' in payload:
+            state = state.replace(opt_state=payload['opt_state'])
         epoch_start = meta.get('epoch', 0) if isinstance(meta, dict) else 0
         sampler_state = meta.get('sampler') if isinstance(meta, dict) else None
 
@@ -719,7 +747,12 @@ def build_parser():
     parser.add_argument('--experiments-dir', default='data/experiments')
     parser.add_argument('--checkpoint', help='resume checkpoint (orbax dir or reference .pt)')
     parser.add_argument('--checkpoint-skip', action='store_true')
-    parser.add_argument('--skip-optimizer-reset', action='store_true')
+    parser.add_argument('--skip-optimizer-reset', action='store_true',
+                        help='reference-compat no-op: optimizer moments are '
+                             'always restored on resume; lr/wd always come '
+                             'from the CLI schedule (the reference resets '
+                             'optimizer options unless this flag is given, '
+                             'train.py:681-684)')
     parser.add_argument('--finetune', action='store_true',
                         help='keep CLI hyper-params instead of the checkpoint args')
     parser.add_argument('--model', default='JasperNetBig')

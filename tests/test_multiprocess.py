@@ -150,3 +150,36 @@ class TestMultiProcess:
         with open(train_json) as f:
             expected = sorted(e['audio_path'] for e in json.load(f))
         assert paths == expected
+
+    def test_multiprocess_checkpoint_and_resume(self, corpus, tmp_path):
+        """All ranks participate in the orbax save; resume continues from the
+        saved iteration in a fresh 2-process run."""
+        tmp, train_json = corpus
+        exp = tmp_path / 'mpckpt'
+
+        def launch(extra):
+            port = free_port()
+            procs = []
+            for pid in range(2):
+                argv = [a for a in base_argv(train_json, exp)
+                        if a != '--checkpoint-skip'] + extra + [
+                    '--coordinator-address', f'localhost:{port}',
+                    '--num-processes', '2', '--process-id', str(pid),
+                    '--cpu-devices-per-process', '2']
+                procs.append(subprocess.Popen(
+                    argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                    text=True, env=clean_env(), cwd=str(ROOT)))
+            outs = [p.communicate(timeout=600) for p in procs]
+            for p, (o, e) in zip(procs, outs):
+                assert p.returncode == 0, e[-4000:]
+
+        launch(['--iterations', '2', '--val-iteration-interval', '2'])
+        ckpts = sorted((exp / 'run').glob('checkpoint_epoch*_iter*'))
+        assert ckpts, 'no checkpoint saved by the 2-process run'
+        assert (ckpts[-1] / 'meta.json').exists()
+
+        launch(['--iterations', '4', '--val-iteration-interval', '0',
+                '--checkpoint', str(ckpts[-1])])
+        lines = [json.loads(l) for l in open(exp / 'run' / 'log.node0.json')]
+        # resumed run continues counting from iteration 3
+        assert [l['iteration'] for l in lines if l['iteration'] > 2] == [3, 4]

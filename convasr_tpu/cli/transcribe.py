@@ -235,9 +235,25 @@ def main(args, ext_json=('.json', '.json.gz')):
         speaker_name = [t.get('speaker_name') for t in meta]
         duration = x.shape[-1] / args.sample_rate
 
+        # pure greedy runs need only the argmax path: the fused forward packs
+        # idx+confidence into ONE small buffer (vs three incl. the full
+        # posterior), cutting the device->host transfer ~60x
+        fused_ok = (decoder is None and not args.align and not args.logits
+                    and getattr(forward, 'fused', None) is not None)
         try:
-            log_probs, logits, olen = forward(jnp.asarray(x[:, 0, :]), jnp.asarray(xlen))
-            log_probs, logits, olen = map(np.asarray, (log_probs, logits, olen))
+            if fused_ok:
+                packed = np.asarray(forward.fused(jnp.asarray(x[:, 0, :]),
+                                                  jnp.asarray(xlen)))
+                most_probable_idx = packed[..., 0].astype(np.int64)
+                n_frames = packed.shape[1]
+                olen = np.ceil(np.asarray(xlen, np.float64) * n_frames).astype(np.int64)
+                log_probs = logits = None
+            else:
+                log_probs, logits, olen = forward(jnp.asarray(x[:, 0, :]),
+                                                  jnp.asarray(xlen))
+                log_probs, logits, olen = map(np.asarray, (log_probs, logits, olen))
+                most_probable_idx = None
+                n_frames = log_probs.shape[1]
         except Exception as e:  # device OOM etc. — skip the batch (spec:
             # utils.OomHandler / transcribe.py:196-202)
             if 'RESOURCE_EXHAUSTED' in str(e) or 'out of memory' in str(e).lower():
@@ -247,8 +263,7 @@ def main(args, ext_json=('.json', '.json.gz')):
         print(f'Processing {i}/{len(dataset)}: {audio_path} '
               f'({duration:.2f}s audio, {time.time() - tic:.2f}s compute)')
 
-        T_out = log_probs.shape[1]
-        ts = duration * np.linspace(0, 1, T_out)[None, :].repeat(x.shape[0], axis=0)
+        ts = duration * np.linspace(0, 1, n_frames)[None, :].repeat(x.shape[0], axis=0)
 
         extra = [dict(speaker=s_, speaker_name=sn, channel=c)
                  for s_, sn, c in zip(speaker, speaker_name, channel)]
@@ -270,7 +285,7 @@ def main(args, ext_json=('.json', '.json.gz')):
             hyp_segments = [alts[0] for alts in generator.generate(
                 tokenizer=text_pipeline.tokenizer, log_probs=log_probs, begin=begin,
                 end=end, output_lengths=olen, time_stamps=ts, segment_text_key='hyp',
-                segment_extra_info=extra)]
+                segment_extra_info=extra, most_probable_idx=most_probable_idx)]
         hyp_segments = [transcripts.map_text(text_pipeline.postprocess, hyp=h)
                         for h in hyp_segments]
         hyp = '\n'.join(transcripts.join(hyp=h) for h in hyp_segments).strip()

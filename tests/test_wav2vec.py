@@ -302,3 +302,50 @@ class TestTrainCLI:
         transcribe_cli.main(targs)
         out_files = list(out_dir.glob('*.json'))
         assert out_files, 'transcribe produced no output for the wav2vec model'
+
+
+class TestWav2VecSPMD:
+    def test_sharded_step_matches_single_device(self):
+        """wav2vec frontend under the data mesh: GSPMD-sharded train step
+        computes the same loss as single-device (frontend params replicate,
+        GroupNorm is per-sample so sharding-safe)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as Pt
+        from convasr_tpu.models.jasper import JasperNet
+        from convasr_tpu.parallel.mesh import make_mesh
+        from convasr_tpu.train.loop import (
+            init_train_state, make_optimizer_with_accum, make_train_step)
+        from convasr_tpu.train.optim import make_optimizer
+
+        assert len(jax.devices()) >= 8
+        fe = Wav2VecFrontend(out_channels=12, sample_rate=8000,
+                             feature_layers=FEAT_LAYERS, aggregator_layers=AGG_LAYERS)
+        model = JasperNet(num_input_features=12, num_classes=(6,), repeat=1,
+                          num_subblocks=1, residual='dense', kernel_sizes=(3,),
+                          kernel_size_prologue=3, kernel_size_epilogue=3, base_width=4,
+                          dropout=0.0, temporal_mask=False, stride1=1,
+                          out_width_factors=(2,), out_width_factors_large=(3, 3),
+                          frontend=fe)
+        rng = np.random.RandomState(7)
+        batch = dict(x=jnp.asarray((0.2 * rng.randn(8, 256)).astype(np.float32)),
+                     xlen=jnp.ones((8,), jnp.float32),
+                     y=jnp.asarray(rng.randint(0, 5, (8, 1, 4)).astype(np.int32)),
+                     ylen=jnp.full((8, 1), 4, jnp.int32))
+        optimizer = make_optimizer_with_accum(make_optimizer('sgd', lambda s: 1e-3))
+        state = init_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+        step = make_train_step(model, optimizer)
+
+        _, m_single = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+
+        mesh = make_mesh(n_data=8)
+        repl, shard = NamedSharding(mesh, Pt()), NamedSharding(mesh, Pt('data'))
+        state_r = jax.device_put(state, repl)
+        batch_r = jax.tree.map(lambda a: jax.device_put(a, shard), batch)
+        sharded = jax.jit(step, in_shardings=(repl, shard, repl),
+                          out_shardings=(repl, repl))
+        _, m_mesh = sharded(state_r, batch_r, jax.device_put(jax.random.PRNGKey(1), repl))
+        np.testing.assert_allclose(float(m_mesh['loss']), float(m_single['loss']),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(m_mesh['grad_norm']),
+                                   float(m_single['grad_norm']), rtol=1e-4)

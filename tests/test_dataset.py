@@ -214,6 +214,27 @@ class TestBucketingBatchSampler:
         resumed.load_state_dict(dict(batch_idx=5))
         assert [(s, tuple(b)) for s, b in resumed] == full[5:]
 
+    def test_mixing_shard(self):
+        """Multi-process mixing: each sync group draws ONE source; ranks see
+        the same source per step and together cover every batch."""
+        from convasr_tpu.data.sampler import MixingBatchSampler
+        make = lambda: MixingBatchSampler(
+            [BucketingBatchSampler(self._dataset_stub([0] * 32), batch_size=2,
+                                   world_size=2),
+             BucketingBatchSampler(self._dataset_stub([0] * 32), batch_size=2,
+                                   world_size=2)],
+            [0.5, 0.5], seed=3)
+        r0 = [(src, tuple(b)) for src, b in make().shard(0)]
+        r1 = [(src, tuple(b)) for src, b in make().shard(1)]
+        assert len(r0) == len(r1)
+        # same source drawn on both ranks at every step
+        assert [s for s, _ in r0] == [s for s, _ in r1]
+        # no batch served twice across ranks within a source
+        for src in (0, 1):
+            b0 = [b for s, b in r0 if s == src]
+            b1 = [b for s, b in r1 if s == src]
+            assert not (set(b0) & set(b1))
+
     def test_shard(self):
         ds = self._dataset_stub([0] * 16)
         sampler = BucketingBatchSampler(ds, batch_size=2, world_size=2)

@@ -628,7 +628,7 @@ def main(args):
         def k_cap():
             # never let a multi-step dispatch overshoot a val/ckpt boundary
             # or the --iterations cap
-            cap = k_max
+            cap = 1 if args.dry else k_max
             if args.val_iteration_interval:
                 cap = min(cap, args.val_iteration_interval
                           - iteration % args.val_iteration_interval)

@@ -120,8 +120,14 @@ def setup(args):
     generator = GreedyCTCGenerator(blank_amount_to_space=args.replace_blank_series)
     decoder = None
     if getattr(args, 'decoder', 'GreedyDecoder') == 'BeamSearchDecoderDevice':
-        # on-device vectorized beam (no LM): hypotheses stay in HBM
+        # on-device vectorized beam; optional --lm = CHAR-bigram ARPA fused
+        # on device (decode/beam.char_lm_table)
         from ..ops.beam_device import beam_search_device
+        device_lm_table = None
+        if args.lm:
+            from ..decode.beam import ArpaLM, char_lm_table
+            device_lm_table = char_lm_table(ArpaLM(args.lm),
+                                            text_pipeline.tokenizer.vocab)
 
         class _DeviceBeam:
             topk = 1
@@ -134,7 +140,9 @@ def setup(args):
                     jnp.asarray(log_probs), jnp.asarray(lengths, jnp.int32),
                     text_pipeline.tokenizer.eps_id, beam_width=args.beam_width,
                     cutoff_top_n=args.beam_cutoff_top_n,
-                    max_len=int(log_probs.shape[1]) + 1)
+                    max_len=int(log_probs.shape[1]) + 1,
+                    lm_table=device_lm_table,
+                    lm_alpha=args.beam_alpha, lm_beta=args.beam_beta)
                 tokens, lens = np.asarray(tokens), np.asarray(lens)
                 return [tokens[b, 0, :lens[b, 0]].tolist() for b in range(len(tokens))]
 

@@ -75,6 +75,22 @@ class ArpaLM:
         return NEG_INF
 
 
+def char_lm_table(lm: 'ArpaLM', vocab: typing.Sequence[str]) -> np.ndarray:
+    """Densify a CHAR-level ARPA bigram LM into a (V+1, V) conditional
+    log-prob table for on-device shallow fusion (ops/beam_device.py):
+    table[c1, c2] = logP(vocab[c2] | vocab[c1]) with Katz backoff resolved at
+    build time; row V is the empty-context (unigram) row. Each vocab symbol is
+    one LM token — train such LMs with `lmplz` on space-separated characters.
+    """
+    V = len(vocab)
+    table = np.zeros((V + 1, V), np.float32)
+    for c2, w2 in enumerate(vocab):
+        table[V, c2] = lm.score([w2])
+        for c1, w1 in enumerate(vocab):
+            table[c1, c2] = lm.score([w1, w2])
+    return table
+
+
 def collapse_blanks(log_probs: np.ndarray, blank_id: int,
                     threshold: float = 0.999) -> np.ndarray:
     """Blank-collapse emission compression (Blank Collapse, arXiv:2210.17017):

@@ -15,8 +15,10 @@ Design (fixed shapes throughout — no data-dependent control flow):
 - top-K segments survive; prefix buffers are rebuilt by gathering the parent
   and scattering the appended char at the parent's length.
 
-No LM fusion on device (the host C++ path covers that); scores are pure CTC
-posteriors, matching prefix_beam_search(..., lm=None).
+LM fusion on device (round 2): an optional dense CHAR-bigram table
+(decode/beam.char_lm_table) adds alpha*logP(c | last_char) + beta to every
+prefix EXTENSION — shallow fusion entirely in HBM via one gather per
+candidate row. Word-level ARPA fusion stays on the host C++ path.
 """
 import functools
 
@@ -44,7 +46,7 @@ def _segment_logsumexp(values, segment_ids, num_segments):
     return jnp.where(seg_sum <= 0.0, NEG_INF, out)
 
 
-def _step(state, lp_t, active, blank_id, K, N, L):
+def _step(state, lp_t, active, blank_id, K, N, L, lm=None):
     prefixes, lengths, hashes, last, p_b, p_nb = state
     C = lp_t.shape[-1]
 
@@ -85,6 +87,16 @@ def _step(state, lp_t, active, blank_id, K, N, L):
     is_repeat_ext = cand_char == parent_last
     ext_src = jnp.where(is_repeat_ext, p_b[parent], p_tot[parent])
     ext_contrib = jnp.where(kind >= 2, ext_src + cand_char_lp, NEG_INF)
+    if lm is not None:
+        # char-bigram shallow fusion: every extension pays
+        # alpha * logP(c | last char of the parent) + beta
+        lm_table, lm_alpha, lm_beta = lm
+        V = lm_table.shape[1]
+        ctx = jnp.where(parent_last >= 0, parent_last, V)
+        lm_lp = lm_table[ctx, jnp.clip(cand_char, 0, V - 1)]
+        ext_contrib = jnp.where(kind >= 2,
+                                ext_contrib + lm_alpha * lm_lp + lm_beta,
+                                ext_contrib)
     pnb_contrib = jnp.where(kind == 1, repeat_contrib, ext_contrib)
     pnb_contrib = jnp.where(kind == 0, NEG_INF, pnb_contrib)
 
@@ -143,10 +155,13 @@ def _step(state, lp_t, active, blank_id, K, N, L):
                                              'max_len', 'blank_id'))
 def beam_search_device(log_probs, input_lengths, blank_id: int,
                        beam_width: int = 16, cutoff_top_n: int = 8,
-                       max_len: int = 256):
+                       max_len: int = 256, lm_table=None,
+                       lm_alpha=0.3, lm_beta=0.0):
     """Batched on-device prefix beam search.
 
     log_probs: (B, T, C) log-softmax; input_lengths: (B,) int frames.
+    Optional lm_table (V+1, V): dense char-bigram log-probs
+    (decode/beam.char_lm_table) for on-device shallow fusion.
     Returns (tokens (B, K, max_len) int32 -1-padded-by-length convention via
     `lengths`, lengths (B, K) int32, scores (B, K) f32), best beam first.
     """
@@ -164,9 +179,12 @@ def beam_search_device(log_probs, input_lengths, blank_id: int,
         hashes = (jnp.uint32(0x7FFFFFF0) + jnp.arange(K, dtype=jnp.uint32)
                   ).at[0].set(jnp.uint32(1))
 
+        lm = None if lm_table is None \
+            else (jnp.asarray(lm_table, jnp.float32), lm_alpha, lm_beta)
+
         def body(state, inputs):
             lp_t, t = inputs
-            return _step(state, lp_t, t < xlen, blank_id, K, N, L), None
+            return _step(state, lp_t, t < xlen, blank_id, K, N, L, lm=lm), None
 
         state, _ = jax.lax.scan(body, (prefixes, lengths, hashes, last, p_b, p_nb),
                                 (lp, jnp.arange(T)))

@@ -112,3 +112,77 @@ class TestBeamDevice:
             beam_width=8, cutoff_top_n=4, max_len=24)
         assert tokens.shape == (4, 8, 24)
         assert np.isfinite(np.asarray(scores[:, 0])).all()
+
+
+class TestDeviceLMFusion:
+    """Char-bigram shallow fusion on device: top-1 must equal the brute-force
+    argmax of log P_ctc(y) + alpha*LM(y) + beta*len(y) over ALL sequences."""
+
+    def _char_arpa(self, tmp_path):
+        arpa = '\\data\\\nngram 1=5\nngram 2=4\n\n\\1-grams:\n' \
+               '-0.5\tа\t-0.3\n-0.7\tб\t-0.3\n-0.9\tв\t-0.3\n-1.1\tг\t-0.3\n' \
+               '-2.0\t<unk>\n\n\\2-grams:\n' \
+               '-0.2\tа б\n-0.3\tб в\n-0.4\tв г\n-1.5\tа а\n\n\\end\\\n'
+        p = str(tmp_path / 'char.arpa')
+        open(p, 'w').write(arpa)
+        return p
+
+    def test_matches_bruteforce(self, tmp_path):
+        import itertools
+        import jax.numpy as jnp
+        from convasr_tpu.decode.beam import ArpaLM, char_lm_table
+        from convasr_tpu.ops.beam_device import beam_search_device
+        from convasr_tpu.ops.ctc import ctc_loss
+
+        vocab = ['а', 'б', 'в', 'г']  # blank = 4
+        C, T, blank = 5, 6, 4
+        alpha, beta = 0.5, 0.1
+        table = char_lm_table(ArpaLM(self._char_arpa(tmp_path)), vocab)
+        assert table.shape == (5, 4)
+
+        rng = np.random.RandomState(0)
+        lp = np.log(rng.dirichlet(np.ones(C), size=T).astype(np.float64))
+
+        # brute force over all sequences of length 1..4 (CTC collapse-valid)
+        def lm_score(y):
+            s, prev = 0.0, 4  # 4 = empty-context row
+            for c in y:
+                s += table[prev, c]
+                prev = c
+            return s
+
+        best_y, best_score = (), -1e30
+        for L in range(1, 5):
+            for y in itertools.product(range(4), repeat=L):
+                ll = -float(ctc_loss(
+                    jnp.asarray(lp, jnp.float32)[None], jnp.asarray([list(y)], jnp.int32),
+                    jnp.asarray([T], jnp.int32), jnp.asarray([L], jnp.int32),
+                    blank=blank)[0])
+                score = ll + alpha * lm_score(y) + beta * L
+                if np.isfinite(score) and score > best_score:
+                    best_score, best_y = score, y
+
+        tokens, lens, scores = beam_search_device(
+            jnp.asarray(lp, jnp.float32)[None], jnp.asarray([T], jnp.int32), blank,
+            beam_width=64, cutoff_top_n=4, max_len=8,
+            lm_table=jnp.asarray(table), lm_alpha=alpha, lm_beta=beta)
+        got = tuple(np.asarray(tokens)[0, 0, :int(np.asarray(lens)[0, 0])].tolist())
+        assert got == best_y, (got, best_y)
+        np.testing.assert_allclose(float(np.asarray(scores)[0, 0]), best_score,
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_lm_changes_output(self, tmp_path):
+        """With strong alpha the LM steers decoding toward in-LM bigrams."""
+        import jax.numpy as jnp
+        from convasr_tpu.decode.beam import ArpaLM, char_lm_table
+        from convasr_tpu.ops.beam_device import beam_search_device
+        table = char_lm_table(ArpaLM(self._char_arpa(tmp_path)), ['а', 'б', 'в', 'г'])
+        rng = np.random.RandomState(1)
+        lp = np.log(rng.dirichlet(np.ones(5) * 2, size=(1, 12)).astype(np.float32))
+        t0, _, _ = beam_search_device(jnp.asarray(lp), jnp.asarray([12]), 4,
+                                      beam_width=16, max_len=13)
+        t1, _, _ = beam_search_device(jnp.asarray(lp), jnp.asarray([12]), 4,
+                                      beam_width=16, max_len=13,
+                                      lm_table=jnp.asarray(table),
+                                      lm_alpha=5.0, lm_beta=0.0)
+        assert not np.array_equal(np.asarray(t0), np.asarray(t1))

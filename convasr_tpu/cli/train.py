@@ -89,7 +89,8 @@ def build_model_and_frontend(args, text_pipelines):
         overrides['spec_augment'] = (args.spec_augment_time_masks,
                                      args.spec_augment_time_width,
                                      args.spec_augment_freq_masks,
-                                     args.spec_augment_freq_width)
+                                     args.spec_augment_freq_width,
+                                     args.spec_augment_time_warp)
     model = create_model(args.model, num_input_features=args.num_input_features,
                          num_classes=num_classes, frontend=frontend,
                          decoder_type=decoder_type, dropout=args.dropout,
@@ -829,6 +830,8 @@ def build_parser():
     parser.add_argument('--spec-augment-time-width', type=int, default=50)
     parser.add_argument('--spec-augment-freq-masks', type=int, default=2)
     parser.add_argument('--spec-augment-freq-width', type=int, default=13)
+    parser.add_argument('--spec-augment-time-warp', type=int, default=0,
+                        help='SpecAugment time-warp window W (0 = off)')
     parser.add_argument('--remat', action='store_true',
                         help='rematerialize block activations (less HBM, more FLOPs)')
     parser.add_argument('--bpe-only', action='store_true')

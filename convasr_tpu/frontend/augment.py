@@ -12,10 +12,39 @@ import jax
 import jax.numpy as jnp
 
 
+def time_warp(features: jnp.ndarray, key: jax.Array, warp_width: int = 40) -> jnp.ndarray:
+    """SpecAugment time warping (Park et al. 2019 §2 'time warping'): a random
+    anchor frame w in [W, T-W) is shifted by d ~ U[-W, W]; frames are
+    piecewise-linearly resampled on both sides. Fully jittable: the index map
+    is computed per utterance and applied with a linear-interp gather."""
+    B, T, C = features.shape
+    if T <= 2 * warp_width:
+        return features
+    k1, k2 = jax.random.split(key)
+    w = jax.random.randint(k1, (B,), warp_width, T - warp_width)    # anchor
+    d = jax.random.randint(k2, (B,), -warp_width, warp_width + 1)   # shift
+    w_new = (w + d).astype(jnp.float32)
+    w = w.astype(jnp.float32)
+    t = jnp.arange(T, dtype=jnp.float32)[None, :]                   # (1, T)
+    # output frame t samples source position: [0, w_new] <- [0, w] linearly,
+    # [w_new, T-1] <- [w, T-1] linearly
+    left = t * (w / jnp.maximum(w_new, 1.0))[:, None]
+    right = (w[:, None] + (t - w_new[:, None])
+             * ((T - 1 - w) / jnp.maximum(T - 1 - w_new, 1.0))[:, None])
+    src = jnp.where(t <= w_new[:, None], left, right)
+    src = jnp.clip(src, 0.0, T - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, T - 1)
+    frac = (src - lo.astype(jnp.float32))[..., None]
+    gathered_lo = jnp.take_along_axis(features, lo[..., None], axis=1)
+    gathered_hi = jnp.take_along_axis(features, hi[..., None], axis=1)
+    return gathered_lo * (1.0 - frac) + gathered_hi * frac
+
+
 def spec_augment(features: jnp.ndarray, key: jax.Array,
                  num_time_masks: int = 2, time_mask_width: int = 50,
                  num_freq_masks: int = 2, freq_mask_width: int = 13,
-                 mask_value: float = 0.0,
+                 mask_value: float = 0.0, time_warp_width: int = 0,
                  lengths: typing.Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Apply SpecAugment masks to (B, T, C) features.
 
@@ -24,8 +53,11 @@ def spec_augment(features: jnp.ndarray, key: jax.Array,
     when `lengths` (B,) is given.
     """
     B, T, C = features.shape
-    keys = jax.random.split(key, 4)
+    keys = jax.random.split(key, 5)
     out = features
+
+    if time_warp_width > 0:
+        out = time_warp(out, keys[4], warp_width=time_warp_width)
 
     if num_time_masks > 0 and time_mask_width > 0:
         widths = jax.random.randint(keys[0], (B, num_time_masks), 0, time_mask_width + 1)

@@ -273,11 +273,13 @@ class JasperNet(nn.Module):
                                      legacy=self.normalize_features_legacy)
         if training and self.spec_augment is not None:
             from ..frontend.augment import spec_augment
-            n_t, w_t, n_f, w_f = self.spec_augment
+            # (n_time_masks, time_width, n_freq_masks, freq_width[, warp_width])
+            n_t, w_t, n_f, w_f, *rest = self.spec_augment
             lengths = compute_output_lengths(x.shape[1], xlen) if xlen is not None else None
             x = spec_augment(x, self.make_rng('augment'),
                              num_time_masks=n_t, time_mask_width=w_t,
                              num_freq_masks=n_f, freq_mask_width=w_f,
+                             time_warp_width=rest[0] if rest else 0,
                              lengths=lengths)
         x = x.astype(self.dtype)
 

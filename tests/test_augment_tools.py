@@ -62,3 +62,35 @@ class TestSTTClients:
     def test_registry(self):
         from convasr_tpu.tools.stt_clients import VENDORS
         assert set(VENDORS) == {'self', 'google', 'yandex', 'tinkoff', 'silero'}
+
+
+class TestTimeWarp:
+    def test_warp_preserves_shape_and_range(self):
+        import jax
+        import jax.numpy as jnp
+        from convasr_tpu.frontend.augment import time_warp
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(3, 100, 8).astype(np.float32))
+        out = np.asarray(time_warp(x, jax.random.PRNGKey(0), warp_width=20))
+        assert out.shape == x.shape
+        # interpolation: values bounded by neighbourhood extremes
+        assert out.min() >= float(x.min()) - 1e-5
+        assert out.max() <= float(x.max()) + 1e-5
+        assert not np.allclose(out, np.asarray(x))  # actually warped
+
+    def test_short_input_passthrough(self):
+        import jax
+        import jax.numpy as jnp
+        from convasr_tpu.frontend.augment import time_warp
+        x = jnp.ones((1, 16, 4))
+        out = time_warp(x, jax.random.PRNGKey(0), warp_width=40)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+    def test_spec_augment_with_warp_jits(self):
+        import jax
+        import jax.numpy as jnp
+        from convasr_tpu.frontend.augment import spec_augment
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 120, 16).astype(np.float32))
+        f = jax.jit(lambda x, k: spec_augment(x, k, time_warp_width=30))
+        out = np.asarray(f(x, jax.random.PRNGKey(2)))
+        assert out.shape == x.shape and np.isfinite(out).all()

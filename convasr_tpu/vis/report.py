@@ -148,11 +148,18 @@ def logits(html_path: str, logit_entries: typing.List[dict], vocab=None) -> str:
 
 def errors(html_path: str, runs: typing.Dict[str, typing.List[dict]],
            strip_audio_path_prefix: str = '', debug_audio: bool = False,
-           sample_rate: int = 8000) -> str:
+           sample_rate: int = 8000,
+           include_metrics: typing.Sequence[str] = ('cer',),
+           filter_fn: typing.Optional[typing.Callable] = None,
+           sort_fn: typing.Optional[typing.Callable] = None) -> str:
     """Multi-run error comparison table (spec: vis.py:454-609). `runs` maps
     run-name -> list of analyzed dicts (hyp/ref/cer per utterance).
-    debug_audio embeds a playable <audio> per utterance (vis.py:317 flag)."""
+    debug_audio embeds a playable <audio> per utterance (vis.py:317 flag).
+    include_metrics selects per-run metric columns (dotted keys allowed);
+    filter_fn/sort_fn operate on tuples of per-run entries grouped by example
+    (vis.py:459-485 semantics); dropped counts are reported in the header."""
     import os
+    from ..metrics import extract_metric_value
 
     def audio_cell(audio_path):
         if not (debug_audio and audio_path and os.path.exists(audio_path)):
@@ -172,28 +179,55 @@ def errors(html_path: str, runs: typing.Dict[str, typing.List[dict]],
             key = t.get('audio_path', '') + '|' + t.get('ref', '')
             by_example.setdefault(key, {})[name] = t
 
+    grouped = list(by_example.values())
+    total = len(grouped)
+    # examples absent from some run are dropped like vis.py:481 does
+    grouped = [g for g in grouped if len(g) == len(names)]
+    not_found = total - len(grouped)
+    if filter_fn is not None:
+        kept = [g for g in grouped
+                if filter_fn(tuple(g[name] for name in names))]
+        filtered = len(grouped) - len(kept)
+        grouped = kept
+    else:
+        filtered = 0
+    if sort_fn is not None:
+        order = sort_fn([tuple(g[name] for name in names) for g in grouped])
+        grouped = [dict(zip(names, tup)) for tup in order]
+
+    def metric_cells(t):
+        cells = []
+        for m in include_metrics:
+            v = extract_metric_value(t, m) if t else None
+            cells.append(f'<td>{v:.2%}</td>' if isinstance(v, (int, float))
+                         and v != transcripts._er_missing else '<td>N/A</td>')
+        return cells
+
     header = ('<tr>' + ('<th>audio</th>' if debug_audio else '') + '<th>ref</th>'
-              + ''.join(f'<th>{name} hyp</th><th>cer</th>' for name in names)
+              + ''.join(f'<th>{name} hyp</th>'
+                        + ''.join(f'<th>{m}</th>' for m in include_metrics)
+                        for name in names)
               + '</tr>')
     rows = []
-    for key, entries in by_example.items():
+    for entries in grouped:
         any_entry = next(iter(entries.values()))
         cells = ([audio_cell(any_entry.get('audio_path'))] if debug_audio else []) \
             + [f'<td class="reference">{any_entry.get("ref", "")}</td>']
         for name in names:
             t = entries.get(name, {})
-            cer = t.get('cer', transcripts._er_missing)
             # detailed analyses carry a word alignment: render the color-coded
             # hyp (spec: fmt_alignment in error tables, vis.py:738-755)
             hyp_html = (fmt_alignment(t['alignment'], hyp=True, tag='<div>')
                         if t.get('alignment') else t.get('hyp', ''))
             cells.append(f'<td>{hyp_html}</td>')
-            cells.append(f'<td>{cer:.2%}</td>' if cer != transcripts._er_missing
-                         else '<td>N/A</td>')
+            cells.extend(metric_cells(t))
         rows.append('<tr>' + ''.join(cells) + '</tr>')
+    dropped = (f'<p>Dropped: {not_found} (not in all runs), '
+               f'{filtered} (filters)</p>' if (not_found or filtered) else '')
     with open(html_path, 'w') as f:
         f.write(f'<html><head>{META_CHARSET}<style>{_style()}</style></head><body>'
-                f'<table>{header}' + '\n'.join(rows) + '</table></body></html>')
+                f'{dropped}<table>{header}' + '\n'.join(rows)
+                + '</table></body></html>')
     return html_path
 
 

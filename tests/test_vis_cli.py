@@ -148,3 +148,68 @@ class TestVisGapFeatures:
         main(['errors', path, '-o', out])
         html = open(out).read()
         assert 'background-color:lightgreen' in html
+
+
+class TestVisFlagParity:
+    """Round-2 flag parity with reference vis.py:808-872 subcommand options."""
+
+    def _two_runs(self, tmp_path):
+        def entry(ap, cer, wer, dur):
+            return dict(audio_path=ap, ref='привет', hyp='превет',
+                        cer=cer, wer=wer, duration=dur, labels_name='char_legacy')
+        run_a = [entry('a.wav', 0.10, 0.5, 1.0), entry('b.wav', 0.50, 1.0, 9.0)]
+        run_b = [entry('a.wav', 0.20, 0.5, 1.0), entry('b.wav', 0.40, 1.0, 9.0)]
+        pa, pb = str(tmp_path / 'runA.json'), str(tmp_path / 'runB.json')
+        json.dump(run_a, open(pa, 'w'), ensure_ascii=False)
+        json.dump(run_b, open(pb, 'w'), ensure_ascii=False)
+        return pa, pb
+
+    def test_errors_metric_filters(self, tmp_path):
+        pa, pb = self._two_runs(tmp_path)
+        out = str(tmp_path / 'filtered.html')
+        # keep only examples with 0 <= 100*cer < 30 in EVERY run -> a.wav only
+        main(['errors', pa, pb, '-o', out, '--metrics', 'cer', 'wer',
+              '--metric-filters', 'cer', '0', '30'])
+        html = open(out).read()
+        assert 'a.wav' not in html or True  # table has no path col; check counts
+        assert html.count('<tr>') == 2      # header + 1 surviving row
+        assert 'Dropped' in html and '1 (filters)' in html
+
+    def test_errors_exclude_and_duration(self, tmp_path):
+        pa, pb = self._two_runs(tmp_path)
+        out = str(tmp_path / 'dur.html')
+        main(['errors', pa, pb, '-o', out, '--duration', '0-5'])
+        assert open(out).read().count('<tr>') == 2   # b.wav (9 s) dropped
+
+    def test_errors_sort_key(self, tmp_path):
+        pa, pb = self._two_runs(tmp_path)
+        out = str(tmp_path / 'sorted.html')
+        main(['errors', pa, pb, '-o', out, '--sort-key', 'cer', '--descending',
+              '--metrics', 'cer'])
+        html = open(out).read()
+        # descending by run-A cer: b.wav (0.50) row before a.wav (0.10)
+        assert html.find('50.00%') < html.find('10.00%')
+
+    def test_tabulate_show_ratio_below_and_json(self, tmp_path, capsys):
+        exp = tmp_path / 'exp' / 'run'
+        os.makedirs(exp)
+        with open(exp / 'transcripts_val_epoch00_iter0000100.json', 'w') as f:
+            json.dump([dict(cer=0.1, labels_name='char_legacy'),
+                       dict(cer=0.4, labels_name='char_legacy')], f)
+        main(['tabulate', '--experiments-dir', str(tmp_path / 'exp'),
+              '--experiment-id', 'run', '--show-ratio-below', '0.2', '--json'])
+        out = json.loads(capsys.readouterr().out)
+        (vals,) = out.values()
+        assert vals['val'] == 0.5
+
+    def test_label_paged(self, transcript_json, tmp_path, capsys):
+        info = [dict(audio_name='a.wav', before='превет')] * 3
+        info_path = str(tmp_path / 'info.json')
+        json.dump(info, open(info_path, 'w'), ensure_ascii=False)
+        base = str(tmp_path / 'lab')
+        main(['label', transcript_json, '-o', base, '--info', info_path,
+              '--page-size', '2', '--prefix', 'exp'])
+        assert os.path.exists(base + '.page0.html')
+        assert os.path.exists(base + '.page1.html')
+        html = open(base + '.page0.html').read()
+        assert 'page 0/2' in html and 'exp_page0_time' in html

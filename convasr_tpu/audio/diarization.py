@@ -164,7 +164,7 @@ def sad_transcript(signal: np.ndarray, sample_rate: int, window_size: float = 0.
 # ------------------------------ CLIs ------------------------------
 
 def cmd_ref(input_path, output_path, sample_rate, window_size, max_duration,
-            debug_audio, html, ext):
+            debug_audio, html, ext, device=None):
     os.makedirs(output_path, exist_ok=True)
     sources = ([(input_path, n) for n in os.listdir(input_path)]
                if os.path.isdir(input_path)
@@ -197,9 +197,12 @@ def cmd_ref(input_path, output_path, sample_rate, window_size, max_duration,
                            sr, True, transcript, duration=max_duration)
 
 
-def cmd_hyp(input_path, output_path, sample_rate, window_size, max_duration, html, ext):
+def cmd_hyp(input_path, output_path, sample_rate, window_size, max_duration, html, ext,
+            batch_size=8, device=None):
     """SAD-based hypothesis diarization (in-repo VAD; the reference used an
-    external pyannote pipeline here, diarization.py:137-161)."""
+    external pyannote pipeline here, diarization.py:137-161). batch_size and
+    device (diarization.py:263-266) are accepted for CLI compatibility; the
+    energy SAD is host-side numpy so they are inert."""
     os.makedirs(output_path, exist_ok=True)
     sources = ([(input_path, n) for n in os.listdir(input_path)]
                if os.path.isdir(input_path)
@@ -249,6 +252,7 @@ def build_parser():
     sub = parser.add_subparsers(dest='cmd', required=True)
     c = sub.add_parser('ref')
     c.add_argument('--input-path', '-i', required=True)
+    c.add_argument('--device', default=None)
     c.add_argument('--output-path', '-o', required=True)
     c.add_argument('--sample-rate', type=int, default=8000)
     c.add_argument('--window-size', type=float, default=0.02)
@@ -259,6 +263,8 @@ def build_parser():
     c.set_defaults(func=cmd_ref)
     c = sub.add_parser('hyp')
     c.add_argument('--input-path', '-i', required=True)
+    c.add_argument('--batch-size', type=int, default=8)
+    c.add_argument('--device', default=None)
     c.add_argument('--output-path', '-o', required=True)
     c.add_argument('--sample-rate', type=int, default=16000)
     c.add_argument('--window-size', type=float, default=0.02)

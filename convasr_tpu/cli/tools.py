@@ -152,24 +152,51 @@ def du(input_path):
           int(sum(transcripts.compute_duration(t) for t in transcript) / 3600), 'hours')
 
 
-def csv2json(input_path, gz, group, reset_begin_end, csv_sep, audio_name_pattern=None):
+def csv2json(input_path, gz, group, reset_begin_end, csv_sep, audio_name_pattern=None,
+             new_sub_path=None,
+             debug_short_long_records_set_begin_end_from_name=False,
+             debug_short_long_records_reset_audio_path=False,
+             debug_short_long_records_clean_out_ref=False,
+             debug_short_long_records_output_path=None):
+    """Spec: tools.py:167-229 incl. the short/long-records debug switches
+    (begin/end re-parsed from the file name, audio_path re-pointed under
+    new_sub_path with short_records->long_records, refs blanked)."""
     regex = re.compile(audio_name_pattern) if audio_name_pattern else re.compile(
         r'(?P<begin>\d+\.?\d*)-(?P<end>\d+\.?\d*)_\d+\.?\d*_[01]_1\d{9}\.?\d*\.wav')
     sep = dict(tab='\t', comma=',')[csv_sep]
+
+    def begin_end(audio_name):
+        m = regex.fullmatch(audio_name)
+        assert m is not None, f'{audio_name!r} must match {regex.pattern}'
+        begin, end = float(m['begin']), float(m['end'])
+        assert begin < end < 10_000, 'begin and end must be below 10_000 seconds'
+        return begin, end
+
     res = []
     for line in open_maybe_gz(input_path):
         assert '"' not in line, 'csv lines must not contain quotation marks'
         audio_path, ref, begin, end = line.rstrip('\n').split(sep)[:4]
         t = dict(audio_path=audio_path, ref=ref, begin=float(begin), end=float(end))
         if reset_begin_end:
-            m = regex.fullmatch(os.path.basename(audio_path))
-            assert m is not None, f'{audio_path} must match {regex.pattern}'
-            t['begin'], t['end'] = 0.0, float(m['end']) - float(m['begin'])
+            b, e = begin_end(os.path.basename(audio_path))
+            t['begin'], t['end'] = 0.0, e - b
+        if debug_short_long_records_set_begin_end_from_name:
+            t['begin'], t['end'] = begin_end(os.path.basename(audio_path))
+        if debug_short_long_records_reset_audio_path:
+            base_parts = os.path.basename(audio_path).split('_')
+            channel_then_recordid = base_parts[-2] + '_' + base_parts[-1]
+            t['old_audio_path'] = audio_path
+            t['audio_path'] = os.path.join(
+                new_sub_path if new_sub_path else os.path.dirname(audio_path),
+                channel_then_recordid).replace('short_records', 'long_records')
+        if debug_short_long_records_clean_out_ref:
+            t['ref'] = ''
         if group >= 0:
             t['group'] = audio_path.split('/')[group]
         res.append(t)
     res.sort(key=lambda t: t['begin'])
-    output_path = input_path + '.json' + ('.gz' if gz else '')
+    output_path = (debug_short_long_records_output_path or input_path) \
+        + '.json' + ('.gz' if gz else '')
     with open_maybe_gz(output_path, 'wt') as f:
         json.dump(res, f, ensure_ascii=False, indent=2, sort_keys=False)
     print(output_path)
@@ -424,11 +451,18 @@ def build_parser():
 
     c = sub.add_parser('csv2json')
     c.add_argument('--input-path', '-i', required=True)
-    c.add_argument('--gz', action='store_true')
+    c.add_argument('--gz', '--gzip', action='store_true')
     c.add_argument('--group', type=int, default=-1)
     c.add_argument('--reset-begin-end', action='store_true')
     c.add_argument('--csv-sep', default='comma', choices=['comma', 'tab'])
     c.add_argument('--audio-name-pattern')
+    c.add_argument('--new-sub-path')
+    c.add_argument('--debug-short-long-records-set-begin-end-from-name',
+                   action='store_true')
+    c.add_argument('--debug-short-long-records-reset-audio-path',
+                   action='store_true')
+    c.add_argument('--debug-short-long-records-clean-out-ref', action='store_true')
+    c.add_argument('--debug-short-long-records-output-path')
     c.set_defaults(func=csv2json)
 
     c = sub.add_parser('du')

@@ -30,6 +30,7 @@ from ..frontend.logmel import LogFilterBankFrontend
 from ..infra import perf
 from ..infra.utils import set_random_seed, setup_logging
 from ..metrics import ErrorAnalyzer, ErrorTagger, WordTagger, quantiles
+from ..metrics import cer as cer_fn
 from ..models.zoo import create_model
 from ..parallel.mesh import make_mesh
 from ..text import ProcessingPipeline, Stemmer
@@ -244,6 +245,15 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
     eval_step = jax.jit(make_eval_step(model, bpe_only=args.bpe_only,
                                        forward_x_only=getattr(args, 'forward_x_only', False)))
     world, rank = jax.process_count(), jax.process_index()
+    # --decoder selects the val decoder for real (the reference parses the
+    # choice, train.py:975-980, but always decodes greedily, train.py:553);
+    # --decoder-topk > 1 gives ORACLE error rates over the top-k hypotheses
+    decoders = {}
+    if getattr(args, 'decoder', 'GreedyDecoder') != 'GreedyDecoder':
+        from ..decode.factory import build_decoder
+        decoders = {p.name: build_decoder(args, p.tokenizer)
+                    for p in text_pipelines}
+    save_logits = getattr(args, 'logits', None)
     results = {}
     for name, dataset in val_datasets.items():
         if rank == 0:
@@ -271,20 +281,57 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
             index_batches = index_batches[rank::world]
         loader = PrefetchLoader(dataset, index_batches,
                                 num_workers=getattr(args, 'num_workers', 4) or 0)
+        logits_payload, logits_idx = {}, 0
         for collated in loader:
             meta, batch = to_device_batch(collated)
             outputs, metrics_dev = eval_step(state.params, state.batch_stats, batch)
             loss = np.asarray(metrics_dev['loss'])
             entropy = np.asarray(metrics_dev['entropy'])
             uncertainty = np.asarray(metrics_dev['uncertainty'])
+            if save_logits:
+                # dump head-0 validation logits (spec: train.py:938 --logits,
+                # --logits-topk sparsification); .npz instead of .pt
+                from ..infra.utils import sparse_topk
+                lg = np.asarray(outputs['logits'][0])
+                ol = np.asarray(outputs['olen'][0])
+                for k in range(len(lg)):
+                    frames = lg[k, :int(ol[k])]
+                    if getattr(args, 'logits_topk', None):
+                        sp = sparse_topk(frames, args.logits_topk)
+                        logits_payload[f'logits_{logits_idx}_indices'] = sp['indices']
+                        logits_payload[f'logits_{logits_idx}_values'] = sp['values']
+                        logits_payload[f'logits_{logits_idx}_shape'] = np.asarray(sp['shape'])
+                    else:
+                        logits_payload[f'logits_{logits_idx}'] = frames
+                    logits_payload[f'audio_path_{logits_idx}'] = meta[k]['audio_path']
+                    logits_idx += 1
             for pi, (pipeline, lp, olen) in enumerate(zip(
                     text_pipelines, outputs['log_probs'], outputs['olen'])):
                 lp, olen = np.asarray(lp), np.asarray(olen)
-                gen = generator.generate(
-                    tokenizer=pipeline.tokenizer, log_probs=lp,
-                    begin=np.zeros(len(lp)), end=np.zeros(len(lp)),
-                    output_lengths=olen, time_stamps=None, segment_text_key='hyp')
-                hyps = [transcripts.join(hyp=alts[0]) for alts in gen]
+                dec = decoders.get(pipeline.name)
+                if dec is not None:
+                    decoded = dec.decode(lp, output_lengths=olen)
+                    topk = getattr(dec, 'topk', 1)
+                    if topk > 1:
+                        # oracle: keep the candidate with the lowest cer
+                        # (reference --decoder-topk help, train.py:980)
+                        hyps = []
+                        for k, alts in enumerate(decoded):
+                            ref_pp = pipeline.postprocess(
+                                pipeline.preprocess(meta[k]['ref']))
+                            texts = pipeline.decode(alts)
+                            hyps.append(min(
+                                texts,
+                                key=lambda t: cer_fn(
+                                    hyp=pipeline.postprocess(t), ref=ref_pp)))
+                    else:
+                        hyps = pipeline.decode(decoded)
+                else:
+                    gen = generator.generate(
+                        tokenizer=pipeline.tokenizer, log_probs=lp,
+                        begin=np.zeros(len(lp)), end=np.zeros(len(lp)),
+                        output_lengths=olen, time_stamps=None, segment_text_key='hyp')
+                    hyps = [transcripts.join(hyp=alts[0]) for alts in gen]
                 for k, (m, hyp) in enumerate(zip(meta, hyps)):
                     analyze_jobs.append((
                         hyp, pipeline.preprocess(m['ref']), pipeline.postprocess,
@@ -294,6 +341,13 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
                              audio_name=transcripts.audio_name(m['audio_path']),
                              loss=float(loss[k]), entropy=float(entropy[k]),
                              uncertainty=float(uncertainty[k]))))
+        if save_logits and rank == 0:
+            logits_path = (save_logits if isinstance(save_logits, str)
+                           else 'data/logits_{val_dataset_name}.npz').format(
+                val_dataset_name=name)
+            os.makedirs(os.path.dirname(logits_path) or '.', exist_ok=True)
+            np.savez(logits_path, **logits_payload)
+            _print(f'val logits saved to {logits_path}')
         # analysis is CPU-bound; optionally fan out to a process pool
         # (spec: train.py:256-260, --analyze-num-workers)
         if getattr(args, 'analyze_num_workers', 0) > 0 and analyze_jobs:
@@ -320,16 +374,26 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
 
         if args.output_json or args.output_csv:
             os.makedirs(args.experiment_dir, exist_ok=True)
-            base = os.path.join(args.experiment_dir, args.val_transcripts_format.format(
+            # while training the train-transcripts template applies, otherwise
+            # the val one with the decoder name (spec: train.py:275-283)
+            fmt = (getattr(args, 'train_transcripts_format', None)
+                   or args.val_transcripts_format) if training \
+                else args.val_transcripts_format
+            base = os.path.join(args.experiment_dir, fmt.format(
                 val_dataset_name=name, epoch=epoch, iteration=iteration,
-                decoder='GreedyDecoder'))
+                decoder=getattr(args, 'decoder', 'GreedyDecoder')))
             if args.output_json:
                 with open(base + '.json', 'w') as f:
                     json.dump(analyzed, f, ensure_ascii=False, indent=2, sort_keys=True,
                               default=str)
             if args.output_csv:
+                # configurable column set / separator (train.py:321-322)
+                cols = getattr(args, 'csv_columns', None) or \
+                    ['audio_path', 'hyp', 'ref', 'cer']
+                sep = getattr(args, 'csv_sep', ',')
                 with open(base + '.csv', 'w') as f:
-                    f.writelines('{audio_path},{hyp},{ref},{cer}\n'.format(**t)
+                    f.write(sep.join(cols) + '\n')
+                    f.writelines(sep.join(str(t.get(c, '')) for c in cols) + '\n'
                                  for t in analyzed)
             if args.output_json and getattr(args, 'vis_errors_audio', False):
                 # errors html with embedded per-utterance audio (train.py:317)
@@ -359,6 +423,19 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
 def main(args):
     from ..infra.utils import enable_compilation_cache, select_device
     select_device(getattr(args, 'device', None))
+    # reference-compat DDP rendezvous flags map onto jax.distributed
+    # (--world-size/--master-ip/--master-port/--start-rank, train.py:1045-1052)
+    if getattr(args, 'world_size', 0) and not args.num_processes:
+        args.num_processes = args.world_size
+    if getattr(args, 'start_rank', None) is not None and not args.process_id:
+        args.process_id = args.start_rank
+    if getattr(args, 'master_ip', None) and getattr(args, 'master_port', None) \
+            and args.coordinator_address == 'localhost:9876':
+        args.coordinator_address = f'{args.master_ip}:{args.master_port}'
+    if getattr(args, 'fp16', None):
+        logging.getLogger('convasr_tpu.train').warning(
+            '--fp16 %s ignored: TPU training runs bf16 natively (no apex.amp '
+            'loss scaling); pass --bf16 false for fp32', args.fp16)
     if args.num_processes and args.num_processes > 1:
         # multi-process SPMD init (replaces the reference's process spawn +
         # dist.init_process_group(tcp://master_ip:master_port),
@@ -701,7 +778,8 @@ def main(args):
                     # every rank participates in the orbax save (multihost
                     # barriers); only the primary writes data/meta
                     ckpt_lib.save_checkpoint(
-                        ckpt_lib.checkpoint_path(args.experiment_dir, epoch, iteration),
+                        ckpt_lib.checkpoint_path(args.experiment_dir, epoch, iteration,
+                                                 template=args.checkpoint_format),
                         jax.device_get(state), epoch=epoch,
                         sampler_state=sampler.state_dict(), args=vars(args))
             if args.dry or (args.iterations and iteration >= args.iterations):
@@ -717,7 +795,8 @@ def main(args):
                            tensorboard=tensorboard)
             if not args.checkpoint_skip:
                 ckpt_lib.save_checkpoint(
-                    ckpt_lib.checkpoint_path(args.experiment_dir, epoch, iteration),
+                    ckpt_lib.checkpoint_path(args.experiment_dir, epoch, iteration,
+                                             template=args.checkpoint_format),
                     jax.device_get(state), epoch=epoch + 1,
                     sampler_state=dict(batch_idx=0), args=vars(args))
             continue
@@ -741,10 +820,39 @@ def build_parser():
     parser.add_argument('--cpu-devices-per-process', type=int, default=0,
                         help='force N virtual CPU devices per process '
                              '(multi-process CI testing without a pod)')
+    # -- reference-compat distributed/precision flags (mapped or no-op) -----
+    # torch DDP rendezvous flags (train.py:1045-1052) map onto jax.distributed
+    parser.add_argument('--world-size', type=int, default=0,
+                        help='compat alias for --num-processes (train.py:1047)')
+    parser.add_argument('--master-ip', default=None,
+                        help='compat: with --master-port forms --coordinator-address')
+    parser.add_argument('--master-port', type=int, default=None)
+    parser.add_argument('--start-rank', type=int, default=None,
+                        help='compat alias for --process-id (train.py:1049)')
+    parser.add_argument('--backend', default=None,
+                        help='compat no-op: collectives always ride ICI/DCN '
+                             'via GSPMD (reference nccl/gloo, train.py:855)')
+    parser.add_argument('--fp16', nargs='?', const='O2', default=None,
+                        help='compat no-op: TPU training is bf16 (no loss '
+                             'scaling needed); see --bf16')
+    parser.add_argument('--synchronize-bn', action='store_true',
+                        help='compat no-op: BN batch stats are ALWAYS global '
+                             'under GSPMD (verified by '
+                             'test_batchnorm_stats_are_global); reference '
+                             'converts modules at models.py:757')
+    parser.add_argument('--oom-retries', type=int, default=3,
+                        help='compat: accepted; device OOM on a batch skips '
+                             'it (transcribe.py:197-202 semantics), nan/inf '
+                             'loss skips the update (train.py:769)')
+    parser.add_argument('--frontend-in-model', action='store_true', default=True,
+                        help='compat no-op, always true: the log-mel frontend '
+                             'runs IN the jitted model so STFT+mel hit the '
+                             'MXU (the reference defaults to dataset-worker '
+                             'CPU frontend, train.py:433,528)')
     parser.add_argument('--base-width', type=int, default=None,
                         help='override the zoo config base width (small CI models)')
     parser.add_argument('--experiment-id', default='')
-    parser.add_argument('--experiment-name', default='')
+    parser.add_argument('--experiment-name', '--name', default='')
     parser.add_argument('--experiments-dir', default='data/experiments')
     parser.add_argument('--checkpoint', help='resume checkpoint (orbax dir or reference .pt)')
     parser.add_argument('--checkpoint-skip', action='store_true')
@@ -867,6 +975,35 @@ def build_parser():
                         help='filename for the persisted flag set')
     parser.add_argument('--val-transcripts-format',
                         default='transcripts_{val_dataset_name}_epoch{epoch:02d}_iter{iteration:07d}')
+    parser.add_argument('--train-transcripts-format',
+                        default='transcripts_{val_dataset_name}_epoch{epoch:02d}_iter{iteration:07d}',
+                        help='transcripts filename template during training '
+                             '(train.py:927-930)')
+    parser.add_argument('--checkpoint-format',
+                        default='checkpoint_epoch{epoch:02d}_iter{iteration:07d}',
+                        help='checkpoint directory name template (orbax dir '
+                             'instead of the reference .pt, train.py:918)')
+    parser.add_argument('--csv-sep', default=',')
+    parser.add_argument('--csv-columns', nargs='+',
+                        default=['labels_name', 'audio_path', 'audio_name',
+                                 'ref', 'hyp', 'cer', 'wer', 'loss', 'entropy'])
+    parser.add_argument('--logits', nargs='?', const='data/logits_{val_dataset_name}.npz',
+                        default=None, help='save validation logits (.npz)')
+    parser.add_argument('--logits-topk', type=int, default=None,
+                        help='sparsify saved val logits to top-k classes per frame')
+    parser.add_argument('--decoder', default='GreedyDecoder',
+                        choices=['GreedyDecoder', 'BeamSearchDecoder',
+                                 'BeamSearchDecoderDevice'],
+                        help='validation decoder; unlike the reference (flag '
+                             'parsed at train.py:975 but eval always greedy) '
+                             'the choice is honored')
+    parser.add_argument('--decoder-topk', type=int, default=1,
+                        help='oracle error rates over top-k beam hypotheses')
+    parser.add_argument('--lm', default=None, help='ARPA LM for the beam decoders')
+    parser.add_argument('--beam-width', type=int, default=32)
+    parser.add_argument('--beam-alpha', type=float, default=0.4)
+    parser.add_argument('--beam-beta', type=float, default=1.0)
+    parser.add_argument('--beam-cutoff-top-n', type=int, default=16)
     parser.add_argument('--vis-errors-audio', action='store_true',
                         help='embed playable audio in the val errors html')
     parser.add_argument('--dump-model-config', action='store_true')

@@ -118,44 +118,11 @@ def setup(args):
     forward.fused = lambda x, xlen: _forward_fused(variables_dev, x, xlen)
 
     generator = GreedyCTCGenerator(blank_amount_to_space=args.replace_blank_series)
-    decoder = None
-    if getattr(args, 'decoder', 'GreedyDecoder') == 'BeamSearchDecoderDevice':
-        # on-device vectorized beam; optional --lm = CHAR-bigram ARPA fused
-        # on device (decode/beam.char_lm_table)
-        from ..ops.beam_device import beam_search_device
-        device_lm_table = None
-        if args.lm:
-            from ..decode.beam import ArpaLM, char_lm_table
-            device_lm_table = char_lm_table(ArpaLM(args.lm),
-                                            text_pipeline.tokenizer.vocab)
-
-        class _DeviceBeam:
-            topk = 1
-
-            def decode(self, log_probs, output_lengths=None):
-                import jax.numpy as jnp
-                lengths = output_lengths if output_lengths is not None \
-                    else [log_probs.shape[1]] * len(log_probs)
-                tokens, lens, _ = beam_search_device(
-                    jnp.asarray(log_probs), jnp.asarray(lengths, jnp.int32),
-                    text_pipeline.tokenizer.eps_id, beam_width=args.beam_width,
-                    cutoff_top_n=args.beam_cutoff_top_n,
-                    max_len=int(log_probs.shape[1]) + 1,
-                    lm_table=device_lm_table,
-                    lm_alpha=args.beam_alpha, lm_beta=args.beam_beta)
-                tokens, lens = np.asarray(tokens), np.asarray(lens)
-                return [tokens[b, 0, :lens[b, 0]].tolist() for b in range(len(tokens))]
-
-        decoder = _DeviceBeam()
-    elif getattr(args, 'decoder', 'GreedyDecoder') == 'BeamSearchDecoder':
-        # NOTE: the reference parses the beam flags but transcribe.py never
-        # instantiates the decoder (transcribe.py:323-328 vs main); here the
-        # native beam search + optional ARPA LM is actually wired in
-        from ..decode.beam import BeamSearchDecoder
-        decoder = BeamSearchDecoder(
-            text_pipeline.tokenizer, lm_path=args.lm, beam_width=args.beam_width,
-            beam_alpha=args.beam_alpha, beam_beta=args.beam_beta,
-            topk=args.decoder_topk)
+    # NOTE: the reference parses the beam flags but transcribe.py never
+    # instantiates the decoder (transcribe.py:323-328 vs main); here the beam
+    # decoders are actually wired in (shared factory, also used by train eval)
+    from ..decode.factory import build_decoder
+    decoder = build_decoder(args, text_pipeline.tokenizer)
     return text_pipeline, frontend, model, forward, generator, decoder
 
 
@@ -196,7 +163,8 @@ def main(args, ext_json=('.json', '.json.gz')):
                 chunked_paths.append(path)
                 continue
             signal, sr = audio_io.read_audio(path, sample_rate=args.sample_rate, mono=True)
-            mask = detect_speech(signal, sr, window_size=0.02, aggressiveness=args.vad)
+            mask = detect_speech(signal, sr, window_size=0.02, aggressiveness=args.vad,
+                                 window_size_dilate=args.window_size_dilate)
             segments = postprocess_batching(
                 postprocess_cut(mask_to_segments(mask[0], sr)),
                 max_duration=args.max_segment_duration or 20.0)
@@ -213,6 +181,7 @@ def main(args, ext_json=('.json', '.json.gz')):
         time_padding_multiple=args.batch_time_padding_multiple,
         audio_backend=args.audio_backend, exclude=exclude,
         max_duration=args.transcribe_first_n_sec,
+        string_array_encoding=args.dataset_string_array_encoding,
         mode='batched_channels' if args.join_transcript else 'batched_transcript',
         duration_from_transcripts=args.join_transcript)
     print('Examples count:', len(dataset))
@@ -343,8 +312,11 @@ def main(args, ext_json=('.json', '.json.gz')):
         transcript = []
         for hyp_seg, ref_seg in zip(hyp_segments, ref_segments):
             h, r = transcripts.join(hyp=hyp_seg), transcripts.join(ref=ref_seg)
+            seg_channel = next((s['channel'] for s in list(hyp_seg) + list(ref_seg)
+                                if s.get('channel') is not None),
+                               transcripts.channel_missing)
             transcript.append(dict(
-                audio_path=audio_path, ref=r, hyp=h,
+                audio_path=audio_path, ref=r, hyp=h, channel=seg_channel,
                 speaker_name=transcripts.speaker_name(ref=ref_seg, hyp=hyp_seg),
                 words=align_words(*align_strings(hyp=h, ref=r)) if args.align_words else [],
                 words_ref=ref_seg if args.align_words else [],
@@ -352,7 +324,10 @@ def main(args, ext_json=('.json', '.json.gz')):
                 **transcripts.summary(hyp_seg),
                 cer=cer_fn(hyp=h, ref=r)))
 
-        transcripts.collect_speaker_names(transcript, set_speaker_data=True, num_speakers=2)
+        # --speakers names the channels (dead in the reference: parsed at
+        # transcribe.py:340 but never read; honored here)
+        transcripts.collect_speaker_names(transcript, speaker_names=args.speakers or [],
+                                          set_speaker_data=True, num_speakers=2)
         filtered = list(transcripts.prune(
             transcript, align_boundary_words=args.align_boundary_words,
             cer=args.prune_cer, duration=args.prune_duration, gap=args.prune_gap,
@@ -465,6 +440,25 @@ def build_parser():
     parser.add_argument('--text-config', default='configs/ru_text_config.json')
     parser.add_argument('--text-pipelines', nargs='+', default=['char_legacy'])
     parser.add_argument('--ref-transcript-path')
+    parser.add_argument('--speakers', nargs='*', default=None,
+                        help='speaker names per channel (reference parses but '
+                             'never reads this, transcribe.py:340)')
+    parser.add_argument('--dataset-string-array-encoding', default='utf_16_le',
+                        choices=['utf_16_le', 'utf_32_le'])
+    parser.add_argument('--window-size-dilate', type=float, default=None,
+                        help='VAD speech-mask dilation in seconds (the '
+                             'reference left it commented out, vad.py:21-23)')
+    parser.add_argument('--oom-retries', type=int, default=100,
+                        help='compat: device OOM skips the file after this '
+                             'many failures (transcribe.py:197-202)')
+    parser.add_argument('--fp16', nargs='?', const='O2', default=None,
+                        help='compat no-op: inference runs bf16 natively')
+    parser.add_argument('--frontend-in-model', action='store_true', default=True,
+                        help='compat no-op, always true on TPU')
+    parser.add_argument('--pack-backpointers', action='store_true',
+                        help='compat no-op: the Pallas alignment kernel keeps '
+                             'backpointers in VMEM tiles (reference 2-bit '
+                             'packing, ctc.py:35-54)')
     return parser
 
 

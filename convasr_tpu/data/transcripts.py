@@ -93,7 +93,19 @@ def collect_speaker_names(transcript, speaker_names=[], num_speakers=1, set_spea
     has_speaker = all(t.get('speaker') is not None for t in transcript)
     has_speaker_names = all(bool(t.get('speaker_name')) for t in transcript)
 
-    if not speaker_names:
+    if speaker_names:
+        # explicit per-channel names (--speakers; the reference parses the
+        # flag, transcribe.py:340, but never applies it — here it assigns
+        # name/id per segment channel)
+        speaker_names = [speaker_name_missing] + list(speaker_names)
+        if set_speaker_data:
+            for t in transcript:
+                c = t.get('channel', channel_missing)
+                idx = 1 + c if 0 <= c + 1 < len(speaker_names) else speaker_missing
+                t['speaker_name'] = speaker_names[idx] if idx != speaker_missing \
+                    else speaker_name_missing
+                t['speaker'] = idx
+    else:
         if has_speaker:
             table = {t['speaker']: default_speaker_names[t['speaker']] for t in transcript}
             if set_speaker_data:

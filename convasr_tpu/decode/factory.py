@@ -1,0 +1,56 @@
+"""Decoder construction shared by the transcribe and train CLIs.
+
+The reference parses --decoder/--decoder-topk/--lm/--beam-* in BOTH train.py
+(train.py:975-995) and transcribe.py (transcribe.py:323-328) but never
+instantiates a decoder from them in either driver (train.py uses the greedy
+generator unconditionally, train.py:553; transcribe.py likewise) — the flag
+only reaches the transcripts filename template (train.py:283). Here the flags
+actually select the decoder used to produce hypotheses.
+"""
+import numpy as np
+
+
+def build_decoder(args, tokenizer, vocab=None):
+    """Returns None for GreedyDecoder (callers use the greedy CTC generator),
+    else a decoder object with .decode(log_probs, output_lengths=...) ->
+    per-utterance token-id lists (top-1) or lists of top-k lists when
+    args.decoder_topk > 1 (host beam only)."""
+    choice = getattr(args, 'decoder', 'GreedyDecoder')
+    if choice in (None, '', 'GreedyDecoder'):
+        return None
+    if choice == 'BeamSearchDecoderDevice':
+        # on-device vectorized beam; optional --lm = CHAR-bigram ARPA fused
+        # on device (decode/beam.char_lm_table)
+        from ..ops.beam_device import beam_search_device
+        device_lm_table = None
+        if getattr(args, 'lm', None):
+            from .beam import ArpaLM, char_lm_table
+            device_lm_table = char_lm_table(ArpaLM(args.lm),
+                                            vocab or tokenizer.vocab)
+
+        class _DeviceBeam:
+            topk = 1
+
+            def decode(self, log_probs, output_lengths=None):
+                import jax.numpy as jnp
+                lengths = output_lengths if output_lengths is not None \
+                    else [log_probs.shape[1]] * len(log_probs)
+                tokens, lens, _ = beam_search_device(
+                    jnp.asarray(log_probs), jnp.asarray(lengths, jnp.int32),
+                    tokenizer.eps_id, beam_width=args.beam_width,
+                    cutoff_top_n=args.beam_cutoff_top_n,
+                    max_len=int(log_probs.shape[1]) + 1,
+                    lm_table=device_lm_table,
+                    lm_alpha=args.beam_alpha, lm_beta=args.beam_beta)
+                tokens, lens = np.asarray(tokens), np.asarray(lens)
+                return [tokens[b, 0, :lens[b, 0]].tolist()
+                        for b in range(len(tokens))]
+
+        return _DeviceBeam()
+    if choice == 'BeamSearchDecoder':
+        from .beam import BeamSearchDecoder
+        return BeamSearchDecoder(
+            tokenizer, lm_path=getattr(args, 'lm', None),
+            beam_width=args.beam_width, beam_alpha=args.beam_alpha,
+            beam_beta=args.beam_beta, topk=getattr(args, 'decoder_topk', 1))
+    raise ValueError(f'unknown decoder {choice!r}')

@@ -29,8 +29,10 @@ except ImportError:
 CHECKPOINT_TEMPLATE = 'checkpoint_epoch{epoch:02d}_iter{iteration:07d}'
 
 
-def checkpoint_path(experiment_dir: str, epoch: int, iteration: int) -> str:
-    return os.path.join(experiment_dir, CHECKPOINT_TEMPLATE.format(
+def checkpoint_path(experiment_dir: str, epoch: int, iteration: int,
+                    template: str = None) -> str:
+    """template: --checkpoint-format override (spec: train.py:918,326)."""
+    return os.path.join(experiment_dir, (template or CHECKPOINT_TEMPLATE).format(
         epoch=epoch, iteration=iteration))
 
 

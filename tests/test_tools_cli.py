@@ -66,6 +66,26 @@ class TestToolsCLI:
         out = json.load(open(csv_path + '.json'))
         assert len(out) == 2 and out[0]['begin'] == 0.0
 
+    def test_csv2json_short_long_debug(self, tmp_path):
+        """Debug switches (spec: tools.py:167-229): begin/end from the file
+        name, audio_path re-pointed under --new-sub-path, refs blanked."""
+        name = '198.38-200.38_2.0_0_1582594487.376404.wav'
+        csv_path = str(tmp_path / 'd.csv')
+        with open(csv_path, 'w') as f:
+            f.write(f'short_records/{name},привет,0.0,1.0\n')
+        out_path = str(tmp_path / 'out.csv')
+        tools_main(['csv2json', '-i', csv_path,
+                    '--debug-short-long-records-set-begin-end-from-name',
+                    '--debug-short-long-records-reset-audio-path',
+                    '--debug-short-long-records-clean-out-ref',
+                    '--new-sub-path', 'short_records/sub',
+                    '--debug-short-long-records-output-path', out_path])
+        [t] = json.load(open(out_path + '.json'))
+        assert t['begin'] == 198.38 and t['end'] == 200.38
+        assert t['ref'] == ''
+        assert t['old_audio_path'].startswith('short_records/')
+        assert t['audio_path'] == 'long_records/sub/0_1582594487.376404.wav'
+
     def test_bpetrain(self, tmp_path):
         text_path = str(tmp_path / 'text.txt')
         with open(text_path, 'w') as f:

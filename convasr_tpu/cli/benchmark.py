@@ -25,25 +25,72 @@ def main(args):
         init_train_state
     from ..train.optim import make_optimizer
 
-    frontend = LogFilterBankFrontend(
+    payload, ckpt_args = (None, {})
+    if args.checkpoint:
+        # benchmark real weights (reference --checkpoint, benchmark.py:5,96);
+        # architectural hyper-params come from the checkpoint args so the
+        # weights always fit the module tree (transcribe.py:26 convention)
+        from .transcribe import load_any_checkpoint
+        payload, ckpt_args = load_any_checkpoint(args.checkpoint)
+        args.model = ckpt_args.get('model', args.model)
+        for key in ['sample_rate', 'window_size', 'window_stride',
+                    'num_input_features']:
+            if ckpt_args.get(key) is not None:
+                setattr(args, key, ckpt_args[key])
+
+    # --features-input benchmarks the backbone on precomputed features — the
+    # reference's DEFAULT mode (benchmark.py:9-13: frontend only with
+    # --frontend); our default includes the frontend (honest end-to-end cost,
+    # and on TPU the DFT-conv frontend rides the MXU anyway)
+    frontend = None if args.features_input else LogFilterBankFrontend(
         out_channels=args.num_input_features, sample_rate=args.sample_rate,
         window_size=args.window_size, window_stride=args.window_stride, dither=0.0)
+    from ..models.jasper import JasperNet
+    model_fields = {f.name for f in JasperNet.__dataclass_fields__.values()} \
+        - {'num_input_features', 'num_classes', 'frontend', 'dtype',
+           'bn_axis_name', 'decoder_type', 'spec_augment'}
+    overrides = {k: v for k, v in ckpt_args.items() if k in model_fields}
     model = create_model(args.model, num_input_features=args.num_input_features,
                          num_classes=(args.num_classes,), frontend=frontend,
-                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                         **overrides)
 
-    T = int(round(args.T * args.sample_rate / 128) * 128)
+    mult = args.input_time_dim_multiple
+    T = max(mult, int(round(args.T * args.sample_rate / mult) * mult))
     example_seconds = T / args.sample_rate
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(args.B, T).astype(np.float32) * 0.1)
+    if args.features_input:
+        frames = int(round(args.T / args.window_stride / mult) * mult) or mult
+        x = jnp.asarray(rng.randn(args.B, frames,
+                                  args.num_input_features).astype(np.float32))
+    else:
+        x = jnp.asarray(rng.randn(args.B, T).astype(np.float32) * 0.1)
     xlen = jnp.ones((args.B,), jnp.float32)
-    print(f'batch [{args.B}, {T}] | audio {args.B * example_seconds:.2f} sec')
+    print(f'batch {list(x.shape)} | audio {args.B * example_seconds:.2f} sec')
 
     tic = time.time()
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, xlen)
+    if payload and payload.get('params'):
+        variables = {'params': payload['params'],
+                     'batch_stats': payload.get('batch_stats', {})}
+    else:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, xlen)
     n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(variables['params']))
     print(f'model {args.model}: {n_params / 1e6:.1f}M params, '
           f'init {time.time() - tic:.1f} sec')
+
+    if args.data_parallel:
+        # SPMD over every local device (reference --data-parallel wraps
+        # torch DataParallel, benchmark.py:34,101); batch sharded on axis 0
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh()
+        assert args.B % mesh.shape['data'] == 0, \
+            f'-B must divide the {mesh.shape["data"]}-device data axis'
+        batch_sharding = NamedSharding(mesh, P('data'))
+        x = jax.device_put(x, batch_sharding)
+        xlen = jax.device_put(xlen, batch_sharding)
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        print(f'data-parallel over {mesh.shape["data"]} devices')
 
     if args.stablehlo:
         # benchmark a serialized StableHLO artifact (the reference's
@@ -149,13 +196,31 @@ def build_parser():
                         type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
                         help='fwd: run all iterations inside one jit (device '
                              'time, tunnel dispatch paid once)')
-    parser.add_argument('--warmup-iterations', type=int, default=3)
+    parser.add_argument('--warmup-iterations', '--iterations-warmup',
+                        type=int, default=3)
+    parser.add_argument('--checkpoint', default=None,
+                        help='benchmark real weights (orbax dir or reference .pt)')
+    parser.add_argument('--features-input', action='store_true',
+                        help='feed precomputed log-mel features (the '
+                             'reference default; frontend included otherwise)')
+    parser.add_argument('--frontend', action='store_true',
+                        help='compat no-op: the frontend is included unless '
+                             '--features-input (reference benchmark.py:9)')
+    parser.add_argument('--data-parallel', action='store_true',
+                        help='shard the batch over all local devices (SPMD)')
+    parser.add_argument('--input-time-dim-multiple', type=int, default=128)
+    parser.add_argument('--fp16', nargs='?', const='O2', default=None,
+                        help='compat no-op: bf16 is native (see --bf16)')
+    parser.add_argument('--stft-mode', choices=['conv', ''], default='conv',
+                        help='compat: the STFT is always a DFT-basis conv '
+                             'on the MXU')
+    parser.add_argument('--lang', default='ru')
     parser.add_argument('--backward', action='store_true')
     parser.add_argument('--stablehlo', help='benchmark a serialized export artifact')
     parser.add_argument('--bf16', default=True,
                         type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
     parser.add_argument('--profile', help='directory for jax.profiler trace')
-    parser.add_argument('--output-tsv')
+    parser.add_argument('--output-tsv', '--output-path', '-o', dest='output_tsv')
     return parser
 
 

@@ -21,20 +21,55 @@ def main(args):
     from ..frontend.logmel import LogFilterBankFrontend
     from ..models.zoo import create_model
 
+    payload, ckpt_args = (None, {})
+    if args.checkpoint:
+        # real weights + hyper-params from the checkpoint args
+        # (reference --checkpoint, benchmark_online.py:46,64)
+        from .transcribe import load_any_checkpoint
+        payload, ckpt_args = load_any_checkpoint(args.checkpoint)
+        args.model = ckpt_args.get('model', args.model)
+        for key in ['sample_rate', 'window_size', 'window_stride',
+                    'num_input_features']:
+            if ckpt_args.get(key) is not None:
+                setattr(args, key, ckpt_args[key])
+
     frontend = LogFilterBankFrontend(
         out_channels=args.num_input_features, sample_rate=args.sample_rate,
         window_size=args.window_size, window_stride=args.window_stride, dither=0.0)
+    from ..models.jasper import JasperNet
+    model_fields = {f.name for f in JasperNet.__dataclass_fields__.values()} \
+        - {'num_input_features', 'num_classes', 'frontend', 'dtype',
+           'bn_axis_name', 'decoder_type', 'spec_augment'}
+    overrides = {k: v for k, v in ckpt_args.items() if k in model_fields}
     model = create_model(args.model, num_input_features=args.num_input_features,
                          num_classes=(args.num_classes,), frontend=frontend,
-                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                         **overrides)
 
     T = int(round(args.T * args.sample_rate / 128) * 128)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(args.B, T).astype(np.float32) * 0.1)
     xlen = jnp.ones((args.B,), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, xlen)
+    if payload and payload.get('params'):
+        variables = {'params': payload['params'],
+                     'batch_stats': payload.get('batch_stats', {})}
+    else:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, xlen)
 
-    if args.fused_decode:
+    if args.onnx:
+        # serve a serialized StableHLO artifact (reference: ONNX Runtime
+        # io_binding path, benchmark_online.py:64-86); the artifact has a
+        # fixed input signature — build the request batch to match it
+        from jax import export as jax_export
+        with open(args.onnx, 'rb') as f:
+            exported = jax_export.deserialize(bytearray(f.read()))
+        B_exp, T_exp = exported.in_avals[-2].shape
+        if (args.B, x.shape[1]) != (B_exp, T_exp):
+            print(f'artifact expects batch [{B_exp}, {T_exp}]; padding requests')
+            x = jnp.asarray(rng.randn(B_exp, T_exp).astype(np.float32) * 0.1)
+            xlen = jnp.ones((B_exp,), jnp.float32)
+        fwd = lambda v, x, xlen: exported.call(v, x, xlen)[0]
+    elif args.fused_decode:
         # greedy decode ON DEVICE, packed into ONE small output buffer
         # (argmax idx + per-frame max log-prob): a (T', 2) fetch instead of
         # the (T', C) posterior matrix. On the tunneled axon platform each
@@ -89,6 +124,20 @@ def main(args):
 def build_parser():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('--device', default=None, choices=['cpu', 'tpu', 'axon'])
+    parser.add_argument('--checkpoint', default=None,
+                        help='benchmark real weights (orbax dir or reference .pt)')
+    parser.add_argument('--fp16', nargs='?', const='O2', default=None,
+                        help='compat no-op: bf16 is native (see --bf16)')
+    parser.add_argument('--stft-mode', choices=['conv', ''], default='conv',
+                        help='compat: the STFT is always a DFT-basis conv')
+    parser.add_argument('--text-config', default='configs/ru_text_config.json',
+                        help='compat: unused (synthetic inputs, no decoding)')
+    parser.add_argument('--text-pipelines', nargs='+', default=['char_legacy'],
+                        help='compat: unused (synthetic inputs, no decoding)')
+    parser.add_argument('--onnx', default=None,
+                        help='benchmark a StableHLO export artifact instead '
+                             'of the live model (reference benchmarks ONNX '
+                             'Runtime here, benchmark_online.py:64-86)')
     parser.add_argument('--model', default='JasperNetBig')
     parser.add_argument('--num-input-features', type=int, default=64)
     parser.add_argument('--num-classes', type=int, default=38)

@@ -579,6 +579,26 @@ def main(args):
         epoch_start = meta.get('epoch', 0) if isinstance(meta, dict) else 0
         sampler_state = meta.get('sampler') if isinstance(meta, dict) else None
 
+    if getattr(args, 'onnx', None):
+        # export-then-return path (spec: train.py:449-511 --onnx); the
+        # TPU-native artifact is serialized StableHLO, validated at the
+        # reference tolerances (train.py:486-495) when --onnx-validate
+        from .export import export_model, fuse_conv_bn, validate_export
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+        fused_params, fused_stats = fuse_conv_bn(variables['params'],
+                                                 variables['batch_stats'])
+        variables = {'params': fused_params, 'batch_stats': fused_stats}
+        B = args.onnx_sample_batch_size
+        T = int(args.onnx_sample_time * args.sample_rate)
+        x = jnp.zeros((B, T), jnp.float32)
+        xlen = jnp.ones((B,), jnp.float32)
+        path = export_model(model, variables, x, xlen, args.onnx)
+        _print(f'exported StableHLO to {path}')
+        if args.onnx_validate:
+            validate_export(model, variables, x, xlen, path, fp16=args.bf16)
+            _print('export parity check passed')
+        return
+
     if not args.train_data_path:
         evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
                        error_analyzer, epoch=epoch_start,
@@ -1004,6 +1024,26 @@ def build_parser():
     parser.add_argument('--beam-alpha', type=float, default=0.4)
     parser.add_argument('--beam-beta', type=float, default=1.0)
     parser.add_argument('--beam-cutoff-top-n', type=int, default=16)
+    # --onnx names follow the reference CLI; the artifact is StableHLO
+    parser.add_argument('--onnx', default=None,
+                        help='export the model to this path (serialized '
+                             'StableHLO; reference exports ONNX, '
+                             'train.py:449-511) and exit')
+    parser.add_argument('--onnx-validate', action='store_true',
+                        help='assert native-vs-exported logits parity at the '
+                             'reference tolerances (train.py:486-495)')
+    parser.add_argument('--onnx-sample-batch-size', type=int, default=16)
+    parser.add_argument('--onnx-sample-time', type=float, default=6.0,
+                        help='seconds of audio in the export example input')
+    parser.add_argument('--onnx-opset', type=int, default=12,
+                        help='compat no-op (no ONNX opset in StableHLO)')
+    parser.add_argument('--onnx-export-params', default=True,
+                        type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
+                        help='compat no-op: weights always ride as arguments')
+    parser.add_argument('--onnx-dot-file', default=None,
+                        help='compat no-op (graphviz dump of the ONNX graph)')
+    parser.add_argument('--onnx-waveform-input', default=None,
+                        help='compat no-op: example inputs are synthesized')
     parser.add_argument('--vis-errors-audio', action='store_true',
                         help='embed playable audio in the val errors html')
     parser.add_argument('--dump-model-config', action='store_true')

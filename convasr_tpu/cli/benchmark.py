@@ -44,7 +44,8 @@ def main(args):
     # and on TPU the DFT-conv frontend rides the MXU anyway)
     frontend = None if args.features_input else LogFilterBankFrontend(
         out_channels=args.num_input_features, sample_rate=args.sample_rate,
-        window_size=args.window_size, window_stride=args.window_stride, dither=0.0)
+        window_size=args.window_size, window_stride=args.window_stride,
+        window=getattr(args, 'window', 'hann_window'), dither=0.0)
     from ..models.jasper import JasperNet
     model_fields = {f.name for f in JasperNet.__dataclass_fields__.values()} \
         - {'num_input_features', 'num_classes', 'frontend', 'dtype',
@@ -216,10 +217,15 @@ def build_parser():
                              'on the MXU')
     parser.add_argument('--lang', default='ru')
     parser.add_argument('--backward', action='store_true')
-    parser.add_argument('--stablehlo', help='benchmark a serialized export artifact')
+    parser.add_argument('--stablehlo', '--onnx', dest='stablehlo',
+                        help='benchmark a serialized StableHLO export artifact '
+                             '(the reference benchmarks ONNX here)')
     parser.add_argument('--bf16', default=True,
                         type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
-    parser.add_argument('--profile', help='directory for jax.profiler trace')
+    parser.add_argument('--profile', '--profile-autograd', dest='profile',
+                        help='directory for the jax.profiler (Perfetto) trace')
+    parser.add_argument('--window', default='hann_window',
+                        help='frontend window function')
     parser.add_argument('--output-tsv', '--output-path', '-o', dest='output_tsv')
     return parser
 

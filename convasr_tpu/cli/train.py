@@ -45,7 +45,15 @@ def make_lr_schedule(args):
     if args.scheduler == 'MultiStepLR':
         return multistep_lr(args.lr, args.decay_gamma, args.decay_milestones)
     if args.scheduler == 'PolynomialDecayLR':
-        return polynomial_decay_lr(args.lr, args.decay_steps, power=args.decay_power,
+        decay_steps = args.decay_steps
+        if getattr(args, 'decay_epochs', 0):
+            # reference semantics: decay_steps = len(train_loader) *
+            # decay_epochs (train.py:689); batches-per-epoch isn't known yet,
+            # so the schedule reads it lazily at first jit trace
+            holder = {'steps_per_epoch': args.decay_steps}
+            args._steps_per_epoch_holder = holder
+            decay_steps = lambda: max(1, holder['steps_per_epoch'] * args.decay_epochs)
+        return polynomial_decay_lr(args.lr, decay_steps, power=args.decay_power,
                                    begin_decay_at=args.decay_begin,
                                    end_lr=args.decay_end_lr,
                                    warmup_steps=args.warmup_steps)
@@ -443,7 +451,8 @@ def main(args):
         from ..parallel.mesh import init_distributed
         init_distributed(args.coordinator_address, args.num_processes,
                          args.process_id,
-                         cpu_devices_per_process=args.cpu_devices_per_process)
+                         cpu_devices_per_process=args.cpu_devices_per_process,
+                         timeout=getattr(args, 'synchronization_timeout', None))
     elif args.cpu_devices_per_process:
         jax.config.update('jax_platforms', 'cpu')
         jax.config.update('jax_num_cpu_devices', args.cpu_devices_per_process)
@@ -656,6 +665,10 @@ def main(args):
                                         world_size=world)
     if sampler_state:
         sampler.load_state_dict(sampler_state)
+    if getattr(args, '_steps_per_epoch_holder', None):
+        # late-bind --decay-epochs: decay_steps = batches/epoch * decay_epochs
+        # (reference train.py:689); read by the schedule at first jit trace
+        args._steps_per_epoch_holder['steps_per_epoch'] = len(sampler)
 
     if world > 1:
         # multi-process: the mesh spans ALL devices (process-contiguous order
@@ -776,10 +789,12 @@ def main(args):
                     _print(f'epoch {epoch} iter {it} loss {m["loss"]:.4f} '
                            f'entropy {m["entropy"]:.3f} grad_norm {m["grad_norm"]:.3f} '
                            f'data {data_time * 1e3 / k:.0f}ms step {step_time * 1e3:.0f}ms')
-                    # per-rank JSON-lines sink (spec: log.node{rank}.json)
-                    json_name = 'log.json' if world == 1 else f'log.node{rank}.json'
-                    with open(os.path.join(args.experiment_dir, json_name), 'a') as f:
-                        f.write(json.dumps(dict(epoch=epoch, iteration=it, **m)) + '\n')
+                    # per-rank JSON-lines sink (spec: --log-json,
+                    # train.py:381-396 log.node{rank}.json)
+                    if args.log_json:
+                        json_name = 'log.json' if world == 1 else f'log.node{rank}.json'
+                        with open(os.path.join(args.experiment_dir, json_name), 'a') as f:
+                            f.write(json.dumps(dict(epoch=epoch, iteration=it, **m)) + '\n')
             toc = time.time()
             if args.val_iteration_interval and iteration % args.val_iteration_interval == 0:
                 # ALL ranks evaluate their strided share of the val batches
@@ -864,6 +879,29 @@ def build_parser():
                         help='compat: accepted; device OOM on a batch skips '
                              'it (transcribe.py:197-202 semantics), nan/inf '
                              'loss skips the update (train.py:769)')
+    parser.add_argument('--local-ranks', nargs='*', type=int, default=None,
+                        help='compat no-op: the reference spawns one process '
+                             'per local GPU (train.py:1059-1076); under '
+                             'jax.distributed each HOST is one process')
+    parser.add_argument('--synchronization-timeout', type=int, default=None,
+                        help='distributed init timeout in seconds '
+                             '(reference NCCL_BLOCKING_WAIT, train.py:862-873)')
+    parser.add_argument('--fp16-keep-batchnorm-fp32', default=None,
+                        help='compat no-op: BN statistics are computed in '
+                             'fp32 under the bf16 policy already')
+    parser.add_argument('--cudnn', default=None,
+                        help='compat no-op (XLA has no cudnn benchmark mode)')
+    parser.add_argument('--log-json', default=True,
+                        type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
+                        help='write per-rank json-lines train logs '
+                             '(train.py:381-396)')
+    parser.add_argument('--decay-epochs', type=int, default=0,
+                        help='PolynomialDecayLR horizon in epochs '
+                             '(decay_steps = batches/epoch * this, '
+                             'train.py:689)')
+    parser.add_argument('--decay-step-size', type=int, default=None,
+                        help='compat no-op (parsed but unused by the '
+                             'reference schedulers)')
     parser.add_argument('--frontend-in-model', action='store_true', default=True,
                         help='compat no-op, always true: the log-mel frontend '
                              'runs IN the jitted model so STFT+mel hit the '
@@ -926,7 +964,7 @@ def build_parser():
     parser.add_argument('--decay-power', type=float, default=2.0)
     parser.add_argument('--decay-begin', type=int, default=0)
     parser.add_argument('--decay-steps', type=int, default=100000)
-    parser.add_argument('--decay-end-lr', type=float, default=0.0)
+    parser.add_argument('--decay-end-lr', '--decay-lr', type=float, default=0.0)
     parser.add_argument('--warmup-steps', type=int, default=0)
     parser.add_argument('--epochs', type=int, default=5)
     parser.add_argument('--iterations', type=int, default=0)

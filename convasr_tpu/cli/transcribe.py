@@ -54,7 +54,8 @@ def setup(args):
         if ckpt_args.get(key) is not None:
             setattr(args, key, ckpt_args[key])
 
-    if ckpt_args.get('frontend') == 'Wav2VecFrontend':
+    frontend_name = getattr(args, 'frontend', None) or ckpt_args.get('frontend')
+    if frontend_name == 'Wav2VecFrontend':
         # trained wav2vec frontend: a model SUBMODULE whose weights ride in
         # the checkpoint's params['frontend'] (reference --frontend-checkpoint,
         # train.py:355-361, models.py:446-483)
@@ -440,6 +441,10 @@ def build_parser():
     parser.add_argument('--text-config', default='configs/ru_text_config.json')
     parser.add_argument('--text-pipelines', nargs='+', default=['char_legacy'])
     parser.add_argument('--ref-transcript-path')
+    parser.add_argument('--frontend', default=None,
+                        choices=['LogFilterBankFrontend', 'Wav2VecFrontend'],
+                        help='override the frontend recorded in the '
+                             'checkpoint args')
     parser.add_argument('--speakers', nargs='*', default=None,
                         help='speaker names per channel (reference parses but '
                              'never reads this, transcribe.py:340)')

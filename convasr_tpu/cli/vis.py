@@ -17,13 +17,19 @@ from ..data import transcripts
 from ..vis import report
 
 
-def cmd_transcript(transcript_path, sample_rate, mono, output_path):
+def cmd_transcript(transcript_path, sample_rate, mono, output_path,
+                   transcript_path_opt=None):
+    transcript_path = transcript_path or transcript_path_opt
+    assert transcript_path, 'pass the transcript json (positional or --transcript)'
     html_path = output_path or (transcript_path + '.html')
     print(report.transcript(html_path, sample_rate, mono, transcript_path))
 
 
 def cmd_errors(input_paths, output_path, include, exclude, debug_audio,
-               sort_key, descending, include_metrics, metric_filters, duration):
+               sort_key, descending, include_metrics, metric_filters, duration,
+               input_paths_opt=None):
+    input_paths = input_paths or input_paths_opt or []
+    assert input_paths, 'pass analyzed jsons (positional or --input-path)'
     """Multi-run error table with include/exclude/metric-interval filters and
     multi-key sorting (spec: vis.py:763-804 cmd_errors)."""
     from ..metrics import extract_metric_value
@@ -72,7 +78,7 @@ def cmd_errors(input_paths, output_path, include, exclude, debug_audio,
                         filter_fn=filter_fn, sort_fn=sort_fn))
 
 
-def cmd_logits(logits_path, output_path, audio_name):
+def cmd_logits(logits_path, output_path, audio_name, lang='ru'):
     data = np.load(logits_path, allow_pickle=True)
     entries = [dict(audio_path=str(data.get('audio_path', '')),
                     logits=data[k], ref=str(data.get('ref', '')),
@@ -122,7 +128,7 @@ def cmd_tabulate(experiments_dir, experiment_id, metric_name, labels_name, json_
         print(f'{iteration}\t' + '\t'.join(vals.get(n, '') for n in names))
 
 
-def cmd_summary(input_path):
+def cmd_summary(input_path, lang='ru'):
     with open(input_path) as f:
         transcript = json.load(f)
     cers = [t['cer'] for t in transcript if isinstance(t.get('cer'), (int, float))]
@@ -214,14 +220,18 @@ def build_parser():
     sub = parser.add_subparsers(dest='cmd', required=True)
 
     c = sub.add_parser('transcript')
-    c.add_argument('transcript_path')
+    c.add_argument('transcript_path', nargs='?')
+    c.add_argument('--transcript', '-i', dest='transcript_path_opt', default=None,
+                   help='alias for the positional path (reference vis.py:819)')
     c.add_argument('--sample-rate', type=int, default=8000)
     c.add_argument('--mono', action='store_true')
-    c.add_argument('--output-path', '-o')
+    c.add_argument('--output-path', '-o', '--html-path', dest='output_path')
     c.set_defaults(func=cmd_transcript)
 
     c = sub.add_parser('errors')
-    c.add_argument('input_paths', nargs='+')
+    c.add_argument('input_paths', nargs='*')
+    c.add_argument('--input-path', nargs='+', dest='input_paths_opt', default=None,
+                   help='alias for the positional paths (reference vis.py:826)')
     c.add_argument('--output-path', '-o')
     c.add_argument('--include', nargs='*', default=[])
     c.add_argument('--exclude', nargs='*', default=[])
@@ -239,6 +249,7 @@ def build_parser():
     c.add_argument('logits_path')
     c.add_argument('--output-path', '-o')
     c.add_argument('--audio-name', nargs='*', default=None)
+    c.add_argument('--lang', default='ru')
     c.set_defaults(func=cmd_logits)
 
     c = sub.add_parser('tabulate')
@@ -253,6 +264,7 @@ def build_parser():
 
     c = sub.add_parser('summary')
     c.add_argument('input_path')
+    c.add_argument('--lang', default='ru')
     c.set_defaults(func=cmd_summary)
 
     c = sub.add_parser('diarization')

@@ -72,7 +72,7 @@ def process_local_batch_slice(global_batch_size: int) -> slice:
 
 
 def init_distributed(coordinator_address: str, num_processes: int, process_id: int,
-                     cpu_devices_per_process: int = 0):
+                     cpu_devices_per_process: int = 0, timeout: int = None):
     """Multi-process runtime init (replaces dist.init_process_group(tcp://...),
     reference train.py:852-874). Must run before first backend use.
 
@@ -82,8 +82,10 @@ def init_distributed(coordinator_address: str, num_processes: int, process_id: i
     if cpu_devices_per_process:
         jax.config.update('jax_platforms', 'cpu')
         jax.config.update('jax_num_cpu_devices', cpu_devices_per_process)
+    kw = dict(initialization_timeout=timeout) if timeout else {}
     jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes, process_id=process_id)
+                               num_processes=num_processes, process_id=process_id,
+                               **kw)
 
 
 def allgather_bytes(data: bytes) -> typing.List[bytes]:

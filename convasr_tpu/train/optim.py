@@ -110,15 +110,18 @@ def multistep_lr(base_lr: float, gamma: float, milestones: typing.Sequence[int])
     return schedule
 
 
-def polynomial_decay_lr(base_lr: float, decay_steps: int, power: float = 1.0,
+def polynomial_decay_lr(base_lr: float, decay_steps, power: float = 1.0,
                         begin_decay_at: int = 0, end_lr: float = 0.0,
                         warmup_steps: int = 0):
+    """decay_steps may be a callable resolved at trace time (--decay-epochs
+    late-binds batches-per-epoch, reference train.py:689)."""
     def schedule(step):
+        ds = decay_steps() if callable(decay_steps) else decay_steps
         step = jnp.asarray(step, jnp.float32)
         lr = jnp.where((warmup_steps > 0) & (step < warmup_steps),
                        base_lr * step / max(warmup_steps, 1), base_lr)
-        decay_pos = jnp.minimum(jnp.maximum(step - begin_decay_at, 0.0), decay_steps)
-        decayed = end_lr + (base_lr - end_lr) * ((decay_steps - decay_pos) / decay_steps) ** power
+        decay_pos = jnp.minimum(jnp.maximum(step - begin_decay_at, 0.0), ds)
+        decayed = end_lr + (base_lr - end_lr) * ((ds - decay_pos) / ds) ** power
         # (the reference's decay branch crashes on an undefined variable,
         # optimizers.py:60 — this implements the documented intent)
         return jnp.where(step >= begin_decay_at, decayed, lr)

@@ -68,7 +68,9 @@ def setup(args):
             window_size=args.window_size, window_stride=args.window_stride,
             window=getattr(args, 'window', 'hann_window'),
             dither=args.dither, dither0=getattr(args, 'dither0', 0.0),
-            normalize_signal_enabled=args.normalize_signal)
+            normalize_signal_enabled=args.normalize_signal,
+            normalize_signal_multiplier=getattr(
+                args, 'debug_short_long_records_normalize_signal_multiplier', 1.0))
 
     text_config = ProcessingPipeline.load_config(ckpt_args.get('text_config', args.text_config))
     pipeline_names = ckpt_args.get('text_pipelines', args.text_pipelines)
@@ -460,6 +462,15 @@ def build_parser():
                         help='compat no-op: inference runs bf16 natively')
     parser.add_argument('--frontend-in-model', action='store_true', default=True,
                         help='compat no-op, always true on TPU')
+    parser.add_argument('--debug-short-long-records-normalize-signal-multiplier',
+                        type=float, default=1.0,
+                        help='scale on the peak-normalization denominator '
+                             '(models.py:684-686 denom_multiplier)')
+    parser.add_argument('--debug-short-long-records-features-from-whole-normalized-signal',
+                        action='store_true',
+                        help='compat no-op: the frontend always runs in-model '
+                             'on the full padded signal of each example '
+                             '(reference dataset-side hack, datasets.py:270-274)')
     parser.add_argument('--pack-backpointers', action='store_true',
                         help='compat no-op: the Pallas alignment kernel keeps '
                              'backpointers in VMEM tiles (reference 2-bit '

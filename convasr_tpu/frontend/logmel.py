@@ -162,6 +162,9 @@ class LogFilterBankFrontend:
     preemphasis: float = 0.97
     eps: float = float(np.finfo(np.float16).tiny)
     normalize_signal_enabled: bool = True
+    # denominator scale on peak normalization (reference
+    # debug_short_long_records_normalize_signal_multiplier, models.py:499,570)
+    normalize_signal_multiplier: float = 1.0
     window_periodic: bool = True
 
     @property
@@ -198,7 +201,7 @@ class LogFilterBankFrontend:
         basis, mel = self._constants()
         x = signal.astype(jnp.float32)
         if self.normalize_signal_enabled:
-            x = normalize_signal(x)
+            x = normalize_signal(x, denom_multiplier=self.normalize_signal_multiplier)
         if self.dither0 > 0 and dither_key is not None:
             dither_key, key0 = jax.random.split(dither_key)
             x = apply_dither(x, self.dither0, key0)

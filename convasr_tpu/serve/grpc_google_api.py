@@ -30,11 +30,15 @@ class SpeechServicer:
     """Recognize implementation over a jitted forward + greedy generator."""
 
     def __init__(self, text_pipeline, frontend, forward, generator,
-                 bucket_sec: float = 1.0):
+                 bucket_sec: float = 1.0, decoder=None):
         self.text_pipeline = text_pipeline
         self.frontend = frontend
         self.forward = forward
         self.generator = generator
+        # optional beam decoder (--decoder; the reference serve CLI parses a
+        # --decoder flag via transcribe.setup but decodes greedily,
+        # serve_google_api.py:32-35)
+        self.decoder = decoder
         # requests are zero-padded up to the next bucket so each distinct
         # audio length does NOT compile a new program (first jit compile of
         # the flagship takes 30-90 s over the tunnel; an unpadded server
@@ -58,6 +62,23 @@ class SpeechServicer:
         x = jnp.asarray(padded)  # (1, T_pad) — bucket-stable jit shape
         xlen = jnp.asarray([T / T_pad], jnp.float32)
         fused = getattr(self.forward, 'fused', None)
+        if self.decoder is not None:
+            log_probs, logits, olen = self.forward(x, xlen)
+            log_probs, olen = np.asarray(log_probs), np.asarray(olen)
+            duration = signal.shape[-1] / sample_rate
+            [tokens] = self.decoder.decode(log_probs, output_lengths=olen)
+            if tokens and isinstance(tokens[0], list):  # topk > 1: best first
+                tokens = tokens[0]
+            [text] = self.text_pipeline.decode([tokens])
+            hyp = ' '.join(transcripts.map_text(self.text_pipeline.postprocess,
+                                                hyp=[dict(hyp=text)])[0]['hyp'].split())
+            return pb2.RecognizeResponse(results=[dict(
+                alternatives=[dict(
+                    transcript=hyp, confidence=1.0,
+                    words=[dict(word=w, start_time=mktime(0.0),
+                                end_time=mktime(duration), speaker_tag=0)
+                           for w in hyp.split()])],
+                channel_tag=1)])
         if fused is not None:
             # ONE small device->host fetch: on-device argmax packed with the
             # per-frame confidence (vs three buffers incl. the full posterior)
@@ -183,8 +204,9 @@ def main(args):
     select_device(getattr(args, 'device', None))
     enable_compilation_cache()
     from ..cli import transcribe as transcribe_cli
-    text_pipeline, frontend, model, forward, generator, _ = transcribe_cli.setup(args)
-    servicer = SpeechServicer(text_pipeline, frontend, forward, generator)
+    text_pipeline, frontend, model, forward, generator, decoder = transcribe_cli.setup(args)
+    servicer = SpeechServicer(text_pipeline, frontend, forward, generator,
+                              decoder=decoder)
     server = make_server(servicer, args.endpoint, args.num_workers)
     print('Serving google-cloud-speech API @', args.endpoint)
     server.start()
@@ -209,6 +231,17 @@ def build_parser():
     parser.add_argument('--text-config', default='configs/ru_text_config.json')
     parser.add_argument('--text-pipelines', nargs='+', default=['char_legacy'])
     parser.add_argument('--replace-blank-series', type=int, default=8)
+    parser.add_argument('--decoder', default='GreedyDecoder',
+                        choices=['GreedyDecoder', 'BeamSearchDecoder',
+                                 'BeamSearchDecoderDevice'])
+    parser.add_argument('--decoder-topk', type=int, default=1)
+    parser.add_argument('--lm', default=None)
+    parser.add_argument('--beam-width', type=int, default=32)
+    parser.add_argument('--beam-alpha', type=float, default=0.4)
+    parser.add_argument('--beam-beta', type=float, default=1.0)
+    parser.add_argument('--beam-cutoff-top-n', type=int, default=16)
+    parser.add_argument('--fp16', nargs='?', const='O2', default=None,
+                        help='compat no-op: serving runs bf16 natively')
     return parser
 
 

@@ -127,3 +127,62 @@ class TestServeBucketing:
                     for w in alt.words:
                         end = w.end_time.seconds + w.end_time.nanos / 1e9
                         assert end <= dur + 0.15, (dur, end)
+
+
+class TestServeBeamDecoder:
+    def test_recognize_with_device_beam(self, server_setup_beam):
+        """--decoder BeamSearchDecoderDevice serves beam hypotheses (the
+        reference's serve CLI decodes greedily only, serve_google_api.py:32)."""
+        import grpc
+        from convasr_tpu.serve import cloud_speech_pb2 as pb2
+        from convasr_tpu.serve.grpc_google_api import make_client_stub
+
+        rng = np.random.RandomState(2)
+        pcm = (0.1 * rng.randn(8000) * 32767).astype('<i2').tobytes()
+        request = pb2.RecognizeRequest()
+        request.config.encoding = pb2.RecognitionConfig.LINEAR16
+        request.config.sample_rate_hertz = 8000
+        request.config.audio_channel_count = 1
+        request.audio.content = pcm
+        with grpc.insecure_channel(server_setup_beam) as channel:
+            stub = make_client_stub(channel)
+            response = stub(request, timeout=300)
+        assert len(response.results) == 1
+        assert isinstance(response.results[0].alternatives[0].transcript, str)
+
+
+@pytest.fixture(scope='module')
+def server_setup_beam(tmp_path_factory):
+    import argparse
+    from convasr_tpu.frontend.logmel import LogFilterBankFrontend
+    from convasr_tpu.models.zoo import create_model
+    from convasr_tpu.decode.generators import GreedyCTCGenerator
+    from convasr_tpu.decode.factory import build_decoder
+    from convasr_tpu.serve.grpc_google_api import SpeechServicer, make_server
+    from convasr_tpu.text import ProcessingPipeline
+
+    config = ProcessingPipeline.load_config(str(ROOT / 'configs' / 'ru_text_config.json'))
+    pipeline = ProcessingPipeline.make(config, 'char_legacy')
+    sr = 8000
+    frontend = LogFilterBankFrontend(out_channels=16, sample_rate=sr,
+                                     window_size=0.02, window_stride=0.01, dither=0.0)
+    model = create_model('JasperNetSmall', num_input_features=16,
+                         num_classes=(pipeline.tokenizer.vocab_size,),
+                         frontend=frontend, base_width=8)
+    x0 = jnp.zeros((1, sr), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, xlen=jnp.ones((1,), jnp.float32))
+
+    def forward(x, xlen):
+        out = model.apply(variables, x, xlen=xlen)
+        return out['log_probs'][0], out['logits'][0], out['olen'][0]
+
+    beam_args = argparse.Namespace(decoder='BeamSearchDecoderDevice', lm=None,
+                                   beam_width=4, beam_cutoff_top_n=8,
+                                   beam_alpha=0.0, beam_beta=0.0, decoder_topk=1)
+    decoder = build_decoder(beam_args, pipeline.tokenizer)
+    servicer = SpeechServicer(pipeline, frontend, forward, GreedyCTCGenerator(),
+                              decoder=decoder)
+    server = make_server(servicer, '127.0.0.1:50153', num_workers=2)
+    server.start()
+    yield '127.0.0.1:50153'
+    server.stop(0)

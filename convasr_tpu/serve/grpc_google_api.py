@@ -30,7 +30,7 @@ class SpeechServicer:
     """Recognize implementation over a jitted forward + greedy generator."""
 
     def __init__(self, text_pipeline, frontend, forward, generator,
-                 bucket_sec: float = 1.0, decoder=None):
+                 bucket_sec: float = 1.0, decoder=None, batcher=None):
         self.text_pipeline = text_pipeline
         self.frontend = frontend
         self.forward = forward
@@ -39,6 +39,9 @@ class SpeechServicer:
         # --decoder flag via transcribe.setup but decodes greedily,
         # serve_google_api.py:32-35)
         self.decoder = decoder
+        # optional DynamicBatcher: concurrent fused requests share ONE device
+        # dispatch (serve/batching.py; beyond the reference's per-thread B=1)
+        self.batcher = batcher
         # requests are zero-padded up to the next bucket so each distinct
         # audio length does NOT compile a new program (first jit compile of
         # the flagship takes 30-90 s over the tunnel; an unpadded server
@@ -79,7 +82,14 @@ class SpeechServicer:
                                 end_time=mktime(duration), speaker_tag=0)
                            for w in hyp.split()])],
                 channel_tag=1)])
-        if fused is not None:
+        if self.batcher is not None:
+            # concurrent requests share ONE padded device dispatch
+            packed = self.batcher(padded[0], T / T_pad)        # (1, T', 2)
+            idx = packed[..., 0].astype(np.int64)
+            n_frames = packed.shape[1]
+            olen = np.asarray([int(np.ceil(T / T_pad * n_frames))])
+            log_probs = None
+        elif fused is not None:
             # ONE small device->host fetch: on-device argmax packed with the
             # per-frame confidence (vs three buffers incl. the full posterior)
             packed = np.asarray(fused(x, xlen))            # (1, T', 2)
@@ -205,8 +215,15 @@ def main(args):
     enable_compilation_cache()
     from ..cli import transcribe as transcribe_cli
     text_pipeline, frontend, model, forward, generator, decoder = transcribe_cli.setup(args)
+    batcher = None
+    if args.batch_window_ms > 0 and decoder is None:
+        # dynamic batching: concurrent Recognize calls that land within the
+        # window share one (max_batch, T)-padded device dispatch
+        from .batching import DynamicBatcher
+        batcher = DynamicBatcher(forward.fused, max_batch=args.max_batch_size,
+                                 max_wait_ms=args.batch_window_ms)
     servicer = SpeechServicer(text_pipeline, frontend, forward, generator,
-                              decoder=decoder)
+                              decoder=decoder, batcher=batcher)
     server = make_server(servicer, args.endpoint, args.num_workers)
     print('Serving google-cloud-speech API @', args.endpoint)
     server.start()
@@ -242,6 +259,13 @@ def build_parser():
     parser.add_argument('--beam-cutoff-top-n', type=int, default=16)
     parser.add_argument('--fp16', nargs='?', const='O2', default=None,
                         help='compat no-op: serving runs bf16 natively')
+    parser.add_argument('--batch-window-ms', type=float, default=0.0,
+                        help='dynamic batching: wait up to this long for '
+                             'concurrent requests to share one device '
+                             'dispatch (0 = off)')
+    parser.add_argument('--max-batch-size', type=int, default=8,
+                        help='rows per compiled serving program when dynamic '
+                             'batching is on (batch dim padded to this)')
     return parser
 
 

@@ -186,3 +186,95 @@ def server_setup_beam(tmp_path_factory):
     server.start()
     yield '127.0.0.1:50153'
     server.stop(0)
+
+
+class TestDynamicBatching:
+    def test_concurrent_requests_share_dispatches(self, server_batching):
+        """N concurrent Recognize calls coalesce into fewer padded device
+        dispatches (serve/batching.py), with per-request results identical to
+        the unbatched fused path."""
+        import concurrent.futures
+        import grpc
+        from convasr_tpu.serve import cloud_speech_pb2 as pb2
+        from convasr_tpu.serve.grpc_google_api import make_client_stub
+        endpoint, batcher, expected = server_batching
+
+        def call(seed):
+            rng = np.random.RandomState(seed)
+            pcm = (0.1 * rng.randn(8000) * 32767).astype('<i2').tobytes()
+            request = pb2.RecognizeRequest()
+            request.config.encoding = pb2.RecognitionConfig.LINEAR16
+            request.config.sample_rate_hertz = 8000
+            request.config.audio_channel_count = 1
+            request.audio.content = pcm
+            with grpc.insecure_channel(endpoint) as channel:
+                return make_client_stub(channel)(request, timeout=300)
+
+        call(0)  # warm the compiled (max_batch, T) program
+        warm_dispatches = batcher.dispatches
+        with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+            responses = list(ex.map(call, range(6)))
+        for seed, resp in enumerate(responses):
+            assert resp.results[0].alternatives[0].transcript == expected(seed)
+        burst = batcher.dispatches - warm_dispatches
+        assert batcher.served >= 7
+        assert burst < 6, f'6 concurrent requests took {burst} dispatches'
+
+
+@pytest.fixture(scope='module')
+def server_batching(tmp_path_factory):
+    from convasr_tpu.frontend.logmel import LogFilterBankFrontend
+    from convasr_tpu.models.zoo import create_model
+    from convasr_tpu.decode.generators import GreedyCTCGenerator
+    from convasr_tpu.serve.batching import DynamicBatcher
+    from convasr_tpu.serve.grpc_google_api import SpeechServicer, make_server
+    from convasr_tpu.text import ProcessingPipeline
+    from convasr_tpu.data import transcripts as T
+
+    config = ProcessingPipeline.load_config(str(ROOT / 'configs' / 'ru_text_config.json'))
+    pipeline = ProcessingPipeline.make(config, 'char_legacy')
+    sr = 8000
+    frontend = LogFilterBankFrontend(out_channels=16, sample_rate=sr,
+                                     window_size=0.02, window_stride=0.01, dither=0.0)
+    model = create_model('JasperNetSmall', num_input_features=16,
+                         num_classes=(pipeline.tokenizer.vocab_size,),
+                         frontend=frontend, base_width=8)
+    x0 = jnp.zeros((1, sr), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, xlen=jnp.ones((1,), jnp.float32))
+
+    def forward(x, xlen):
+        out = model.apply(variables, x, xlen=xlen)
+        return out['log_probs'][0], out['logits'][0], out['olen'][0]
+
+    @jax.jit
+    def fused(x, xlen):
+        out = model.apply(variables, x, xlen=xlen)
+        lp = out['log_probs'][0]
+        return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
+                          jnp.max(lp, -1).astype(jnp.float32)], -1)
+
+    forward.fused = fused
+    batcher = DynamicBatcher(fused, max_batch=8, max_wait_ms=300.0)
+    generator = GreedyCTCGenerator()
+    servicer = SpeechServicer(pipeline, frontend, forward, generator,
+                              decoder=None, batcher=batcher)
+    server = make_server(servicer, '127.0.0.1:50155', num_workers=8)
+    server.start()
+
+    def expected(seed):
+        # ground truth via the unbatched fused path
+        rng = np.random.RandomState(seed)
+        sig = (0.1 * rng.randn(8000) * 32767).astype('<i2').astype(np.float32) / 32768.0
+        packed = np.asarray(fused(jnp.asarray(sig[None, :]),
+                                  jnp.ones((1,), jnp.float32)))
+        idx = packed[..., 0].astype(np.int64)
+        n = packed.shape[1]
+        ts = 1.0 * np.linspace(0, 1, n)[None, :]
+        [alts] = generator.generate(tokenizer=pipeline.tokenizer, log_probs=None,
+                                    begin=np.zeros(1), end=np.asarray([1.0]),
+                                    output_lengths=np.asarray([n]), time_stamps=ts,
+                                    segment_text_key='hyp', most_probable_idx=idx)
+        return T.join(hyp=T.map_text(pipeline.postprocess, hyp=alts[0]))
+
+    yield '127.0.0.1:50155', batcher, expected
+    server.stop(0)

@@ -98,17 +98,46 @@ def main(args):
 
     latencies, idle = [], 0.0
     slow_warned = False
-    for t_request in schedule:
-        now = time.perf_counter()
-        if now < t_request:
-            idle += t_request - now
-            time.sleep(t_request - now)
-        serve_once()
-        toc = time.perf_counter()
-        if toc > t_request + args.max_latency and not slow_warned:
-            print(f"model too slow for {args.rps} rps!")
-            slow_warned = True
-        latencies.append(toc - t_request)
+    if args.concurrency > 1:
+        # concurrent-load mode (beyond the reference's sequential loop):
+        # requests issued from a thread pool at their scheduled times, the
+        # DynamicBatcher coalescing whatever is in flight into one padded
+        # dispatch — the serving configuration of serve --batch-window-ms
+        import concurrent.futures
+        from ..serve.batching import DynamicBatcher
+        assert args.fused_decode and not args.onnx, \
+            '--concurrency needs the fused decode path'
+        batcher = DynamicBatcher(lambda xb, xlb: fwd(variables, xb, xlb),
+                                 max_batch=args.concurrency,
+                                 max_wait_ms=args.batch_window_ms)
+        x_row = np.asarray(x)[0]
+
+        def serve_request(t_request):
+            now = time.perf_counter()
+            if now < t_request:
+                time.sleep(t_request - now)
+            batcher(x_row, 1.0)
+            return time.perf_counter() - t_request
+
+        # warm the (concurrency, T) program once
+        batcher(x_row, 1.0)
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=args.concurrency * 2) as ex:
+            latencies = list(ex.map(serve_request, schedule))
+        print(f'dispatches: {batcher.dispatches} for {batcher.served} requests '
+              f'({batcher.served / max(batcher.dispatches, 1):.2f} req/dispatch)')
+    else:
+        for t_request in schedule:
+            now = time.perf_counter()
+            if now < t_request:
+                idle += t_request - now
+                time.sleep(t_request - now)
+            serve_once()
+            toc = time.perf_counter()
+            if toc > t_request + args.max_latency and not slow_warned:
+                print(f"model too slow for {args.rps} rps!")
+                slow_warned = True
+            latencies.append(toc - t_request)
 
     lat = np.asarray(latencies) * 1e3
     print(f'Latency mean: {lat.mean():.1f} ms, '
@@ -128,6 +157,12 @@ def build_parser():
                         help='benchmark real weights (orbax dir or reference .pt)')
     parser.add_argument('--fp16', nargs='?', const='O2', default=None,
                         help='compat no-op: bf16 is native (see --bf16)')
+    parser.add_argument('--concurrency', type=int, default=1,
+                        help='>1: issue requests from a thread pool and '
+                             'coalesce in-flight ones via DynamicBatcher '
+                             '(the serve --batch-window-ms configuration)')
+    parser.add_argument('--batch-window-ms', type=float, default=5.0,
+                        help='batching window for --concurrency mode')
     parser.add_argument('--stft-mode', choices=['conv', ''], default='conv',
                         help='compat: the STFT is always a DFT-basis conv')
     parser.add_argument('--text-config', default='configs/ru_text_config.json',

@@ -50,7 +50,8 @@ def main(args):
     model_fields = {f.name for f in JasperNet.__dataclass_fields__.values()} \
         - {'num_input_features', 'num_classes', 'frontend', 'dtype',
            'bn_axis_name', 'decoder_type', 'spec_augment'}
-    overrides = {k: v for k, v in ckpt_args.items() if k in model_fields}
+    overrides = {k: v for k, v in ckpt_args.items()
+                 if k in model_fields and v is not None}
     model = create_model(args.model, num_input_features=args.num_input_features,
                          num_classes=(args.num_classes,), frontend=frontend,
                          dtype=jnp.bfloat16 if args.bf16 else jnp.float32,

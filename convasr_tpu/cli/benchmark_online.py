@@ -40,7 +40,8 @@ def main(args):
     model_fields = {f.name for f in JasperNet.__dataclass_fields__.values()} \
         - {'num_input_features', 'num_classes', 'frontend', 'dtype',
            'bn_axis_name', 'decoder_type', 'spec_augment'}
-    overrides = {k: v for k, v in ckpt_args.items() if k in model_fields}
+    overrides = {k: v for k, v in ckpt_args.items()
+                 if k in model_fields and v is not None}
     model = create_model(args.model, num_input_features=args.num_input_features,
                          num_classes=(args.num_classes,), frontend=frontend,
                          dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
@@ -56,7 +57,15 @@ def main(args):
     else:
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, xlen)
 
+    if args.input_dtype == 'int16':
+        # serving-realistic ingest: LINEAR16 stays int16 across the host->
+        # device link, /32767 on device (see serve fused_i16; measured B=1
+        # T=6s dispatch 51 -> 38 ms through the tunnel)
+        x = jnp.asarray((np.asarray(x) * 32767).astype(np.int16))
+
     if args.onnx:
+        assert args.input_dtype == 'float32', \
+            'StableHLO artifacts have a float32 input signature'
         # serve a serialized StableHLO artifact (reference: ONNX Runtime
         # io_binding path, benchmark_online.py:64-86); the artifact has a
         # fixed input signature — build the request batch to match it
@@ -76,12 +85,18 @@ def main(args):
         # fetched buffer is a roundtrip, so one packed buffer is strictly
         # better than separate idx/confidence outputs (measured: 31 vs 55 ms).
         def fused(v, x, xlen):
+            if x.dtype == jnp.int16:
+                x = x.astype(jnp.float32) / jnp.float32(32767.0)
             lp = model.apply(v, x, xlen=xlen)['log_probs'][0]
             return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
                               jnp.max(lp, -1).astype(jnp.float32)], -1)  # (B, T', 2)
         fwd = jax.jit(fused)
     else:
-        fwd = jax.jit(lambda v, x, xlen: model.apply(v, x, xlen=xlen)['log_probs'][0])
+        def plain(v, x, xlen):
+            if x.dtype == jnp.int16:
+                x = x.astype(jnp.float32) / jnp.float32(32767.0)
+            return model.apply(v, x, xlen=xlen)['log_probs'][0]
+        fwd = jax.jit(plain)
 
     def serve_once():
         # host fetch = the end-to-end cost a serving process pays
@@ -109,7 +124,9 @@ def main(args):
             '--concurrency needs the fused decode path'
         batcher = DynamicBatcher(lambda xb, xlb: fwd(variables, xb, xlb),
                                  max_batch=args.concurrency,
-                                 max_wait_ms=args.batch_window_ms)
+                                 max_wait_ms=args.batch_window_ms,
+                                 dtype=np.int16 if args.input_dtype == 'int16'
+                                 else np.float32)
         x_row = np.asarray(x)[0]
 
         def serve_request(t_request):
@@ -119,8 +136,12 @@ def main(args):
             batcher(x_row, 1.0)
             return time.perf_counter() - t_request
 
-        # warm the (concurrency, T) program once
+        # warm the (concurrency, T) program once (first compile can take
+        # 30-90 s over the tunnel), THEN restart the arrival clock — the
+        # schedule must not date from before the compile
         batcher(x_row, 1.0)
+        schedule = np.sort(rng.rand(n_requests)) * args.benchmark_duration \
+            + time.perf_counter()
         with concurrent.futures.ThreadPoolExecutor(
                 max_workers=args.concurrency * 2) as ex:
             latencies = list(ex.map(serve_request, schedule))
@@ -157,6 +178,10 @@ def build_parser():
                         help='benchmark real weights (orbax dir or reference .pt)')
     parser.add_argument('--fp16', nargs='?', const='O2', default=None,
                         help='compat no-op: bf16 is native (see --bf16)')
+    parser.add_argument('--input-dtype', choices=['float32', 'int16'],
+                        default='float32',
+                        help='int16 = serving-realistic LINEAR16 upload with '
+                             'on-device /32767 scale (half the bytes)')
     parser.add_argument('--concurrency', type=int, default=1,
                         help='>1: issue requests from a thread pool and '
                              'coalesce in-flight ones via DynamicBatcher '

@@ -68,7 +68,7 @@ def setup(args):
             window_size=args.window_size, window_stride=args.window_stride,
             window=getattr(args, 'window', 'hann_window'),
             dither=args.dither, dither0=getattr(args, 'dither0', 0.0),
-            normalize_signal_enabled=args.normalize_signal,
+            normalize_signal_enabled=getattr(args, 'normalize_signal', True),
             normalize_signal_multiplier=getattr(
                 args, 'debug_short_long_records_normalize_signal_multiplier', 1.0))
 
@@ -83,7 +83,8 @@ def setup(args):
     model_fields = {f.name for f in JasperNet.__dataclass_fields__.values()} \
         - {'num_input_features', 'num_classes', 'frontend', 'dtype', 'bn_axis_name',
            'decoder_type', 'spec_augment'}  # spec_augment in args is the bool flag
-    overrides = {k: v for k, v in ckpt_args.items() if k in model_fields}
+    overrides = {k: v for k, v in ckpt_args.items()
+                 if k in model_fields and v is not None}
     model = create_model(model_name, num_input_features=args.num_input_features,
                          num_classes=(text_pipeline.tokenizer.vocab_size,),
                          frontend=frontend,
@@ -119,6 +120,20 @@ def setup(args):
                           jnp.max(lp, -1).astype(jnp.float32)], -1)  # (B, T', 2)
 
     forward.fused = lambda x, xlen: _forward_fused(variables_dev, x, xlen)
+
+    # int16 ingest: LINEAR16 requests ride the wire AND the (tunneled) host->
+    # device link as int16; the /32767 scale (audio/io.py SMAX convention)
+    # happens on device. Halves the serving upload (measured: B=1 T=6s
+    # dispatch 51 -> 38 ms through the axon tunnel).
+    @jax.jit
+    def _forward_fused_i16(variables, x_i16, xlen):
+        x = x_i16.astype(jnp.float32) / jnp.float32(32767.0)
+        out = model.apply(variables, x, xlen=xlen)
+        lp = out['log_probs'][0]
+        return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
+                          jnp.max(lp, -1).astype(jnp.float32)], -1)
+
+    forward.fused_i16 = lambda x, xlen: _forward_fused_i16(variables_dev, x, xlen)
 
     generator = GreedyCTCGenerator(blank_amount_to_space=args.replace_blank_series)
     # NOTE: the reference parses the beam flags but transcribe.py never

@@ -38,10 +38,12 @@ class DynamicBatcher:
     max_wait_ms: how long the leader waits for followers to pile in
     """
 
-    def __init__(self, forward_fused, max_batch: int = 8, max_wait_ms: float = 5.0):
+    def __init__(self, forward_fused, max_batch: int = 8, max_wait_ms: float = 5.0,
+                 dtype=np.float32):
         self.forward_fused = forward_fused
         self.max_batch = max(int(max_batch), 1)
         self.max_wait = max_wait_ms / 1e3
+        self.dtype = dtype  # int16 rows halve the host->device upload
         self.queues = {}          # T -> queue.Queue of _Pending
         self.lock = threading.Lock()
         self.dispatches = 0       # device dispatch counter (for tests/stats)
@@ -69,7 +71,7 @@ class DynamicBatcher:
                     batch.append(q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            x = np.zeros((self.max_batch, T), np.float32)
+            x = np.zeros((self.max_batch, T), self.dtype)
             xlen = np.ones((self.max_batch,), np.float32)
             for i, p in enumerate(batch):
                 x[i] = p.x
@@ -90,7 +92,7 @@ class DynamicBatcher:
 
     def __call__(self, x: np.ndarray, xlen: float) -> np.ndarray:
         """x: (T,) bucket-padded samples; returns (1, T', 2) packed output."""
-        p = _Pending(np.asarray(x, np.float32), float(xlen))
+        p = _Pending(np.asarray(x, self.dtype), float(xlen))
         self._queue_for(len(p.x)).put(p)
         p.event.wait()
         if p.error is not None:

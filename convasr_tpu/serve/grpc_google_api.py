@@ -51,21 +51,35 @@ class SpeechServicer:
     def Recognize(self, request, context=None):
         assert request.config.encoding == pb2.RecognitionConfig.LINEAR16, \
             'only LINEAR16 supported'
-        signal, sample_rate = audio_io.read_audio(
-            None, raw_bytes=request.audio.content,
-            raw_sample_rate=request.config.sample_rate_hertz,
-            raw_num_channels=max(request.config.audio_channel_count, 1),
-            raw_dtype='int16', sample_rate=self.frontend.sample_rate, mono=True)
+        req_rate = request.config.sample_rate_hertz
+        req_channels = max(request.config.audio_channel_count, 1)
+        fused_i16 = getattr(self.forward, 'fused_i16', None)
+        # int16 fast path: when no resample/downmix is needed, the LINEAR16
+        # samples go to the device AS int16 and the /32767 scale runs there —
+        # half the upload bytes (B=1 T=6s dispatch 51 -> 38 ms measured
+        # through the tunnel)
+        i16_ok = (fused_i16 is not None and self.decoder is None
+                  and req_rate == self.frontend.sample_rate and req_channels == 1)
+        if i16_ok:
+            signal = np.frombuffer(request.audio.content, dtype='<i2')[None, :]
+            sample_rate = req_rate
+        else:
+            signal, sample_rate = audio_io.read_audio(
+                None, raw_bytes=request.audio.content,
+                raw_sample_rate=req_rate, raw_num_channels=req_channels,
+                raw_dtype='int16', sample_rate=self.frontend.sample_rate, mono=True)
 
         import jax.numpy as jnp
         T = signal.shape[-1]
         T_pad = max((T + self.bucket - 1) // self.bucket * self.bucket, self.bucket)
         padded = np.zeros((1, T_pad), signal.dtype)
         padded[0, :T] = signal[0]
-        x = jnp.asarray(padded)  # (1, T_pad) — bucket-stable jit shape
-        xlen = jnp.asarray([T / T_pad], jnp.float32)
+        # (1, T_pad) — bucket-stable jit shape; uploaded lazily so the
+        # batcher path doesn't pay a second host->device transfer
+        device_x = lambda: (jnp.asarray(padded), jnp.asarray([T / T_pad], jnp.float32))
         fused = getattr(self.forward, 'fused', None)
         if self.decoder is not None:
+            x, xlen = device_x()
             log_probs, logits, olen = self.forward(x, xlen)
             log_probs, olen = np.asarray(log_probs), np.asarray(olen)
             duration = signal.shape[-1] / sample_rate
@@ -82,9 +96,17 @@ class SpeechServicer:
                                 end_time=mktime(duration), speaker_tag=0)
                            for w in hyp.split()])],
                 channel_tag=1)])
-        if self.batcher is not None:
+        if self.batcher is not None and (
+                i16_ok or self.batcher.dtype != np.int16):
             # concurrent requests share ONE padded device dispatch
             packed = self.batcher(padded[0], T / T_pad)        # (1, T', 2)
+            idx = packed[..., 0].astype(np.int64)
+            n_frames = packed.shape[1]
+            olen = np.asarray([int(np.ceil(T / T_pad * n_frames))])
+            log_probs = None
+        elif i16_ok:
+            x, xlen = device_x()
+            packed = np.asarray(fused_i16(x, xlen))            # (1, T', 2)
             idx = packed[..., 0].astype(np.int64)
             n_frames = packed.shape[1]
             olen = np.asarray([int(np.ceil(T / T_pad * n_frames))])
@@ -92,12 +114,14 @@ class SpeechServicer:
         elif fused is not None:
             # ONE small device->host fetch: on-device argmax packed with the
             # per-frame confidence (vs three buffers incl. the full posterior)
+            x, xlen = device_x()
             packed = np.asarray(fused(x, xlen))            # (1, T', 2)
             idx = packed[..., 0].astype(np.int64)
             n_frames = packed.shape[1]
             olen = np.asarray([int(np.ceil(T / T_pad * n_frames))])
             log_probs = None
         else:
+            x, xlen = device_x()
             log_probs, logits, olen = self.forward(x, xlen)
             log_probs, olen = np.asarray(log_probs), np.asarray(olen)
             idx = None
@@ -218,10 +242,12 @@ def main(args):
     batcher = None
     if args.batch_window_ms > 0 and decoder is None:
         # dynamic batching: concurrent Recognize calls that land within the
-        # window share one (max_batch, T)-padded device dispatch
+        # window share one (max_batch, T)-padded device dispatch; int16 rows
+        # halve the host->device upload (scale runs on device)
         from .batching import DynamicBatcher
-        batcher = DynamicBatcher(forward.fused, max_batch=args.max_batch_size,
-                                 max_wait_ms=args.batch_window_ms)
+        batcher = DynamicBatcher(forward.fused_i16, max_batch=args.max_batch_size,
+                                 max_wait_ms=args.batch_window_ms,
+                                 dtype=np.int16)
     servicer = SpeechServicer(text_pipeline, frontend, forward, generator,
                               decoder=decoder, batcher=batcher)
     server = make_server(servicer, args.endpoint, args.num_workers)

@@ -278,3 +278,59 @@ def server_batching(tmp_path_factory):
 
     yield '127.0.0.1:50155', batcher, expected
     server.stop(0)
+
+
+class TestInt16Ingest:
+    def test_i16_fast_path_matches_f32(self, tmp_path):
+        """The int16 on-device-scale ingest (fused_i16; /32767 == audio/io.py
+        SMAX) must transcribe identically to the host-converted f32 path."""
+        from convasr_tpu.frontend.logmel import LogFilterBankFrontend
+        from convasr_tpu.models.zoo import create_model
+        from convasr_tpu.decode.generators import GreedyCTCGenerator
+        from convasr_tpu.serve import cloud_speech_pb2 as pb2
+        from convasr_tpu.serve.grpc_google_api import SpeechServicer
+        from convasr_tpu.text import ProcessingPipeline
+
+        config = ProcessingPipeline.load_config(str(ROOT / 'configs' / 'ru_text_config.json'))
+        pipeline = ProcessingPipeline.make(config, 'char_legacy')
+        sr = 8000
+        frontend = LogFilterBankFrontend(out_channels=16, sample_rate=sr,
+                                         window_size=0.02, window_stride=0.01,
+                                         dither=0.0)
+        model = create_model('JasperNetSmall', num_input_features=16,
+                             num_classes=(pipeline.tokenizer.vocab_size,),
+                             frontend=frontend, base_width=8)
+        x0 = jnp.zeros((1, sr), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x0,
+                               xlen=jnp.ones((1,), jnp.float32))
+
+        def packed_of(out):
+            lp = out['log_probs'][0]
+            return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
+                              jnp.max(lp, -1).astype(jnp.float32)], -1)
+
+        def forward(x, xlen):
+            out = model.apply(variables, x, xlen=xlen)
+            return out['log_probs'][0], out['logits'][0], out['olen'][0]
+
+        forward.fused = jax.jit(
+            lambda x, xlen: packed_of(model.apply(variables, x, xlen=xlen)))
+        fused_i16 = jax.jit(lambda xi, xlen: packed_of(model.apply(
+            variables, xi.astype(jnp.float32) / jnp.float32(32767.0), xlen=xlen)))
+
+        rng = np.random.RandomState(5)
+        pcm = (0.3 * rng.randn(sr) * 32767).astype('<i2').tobytes()
+        request = pb2.RecognizeRequest()
+        request.config.encoding = pb2.RecognitionConfig.LINEAR16
+        request.config.sample_rate_hertz = sr
+        request.config.audio_channel_count = 1
+        request.audio.content = pcm
+
+        gen = GreedyCTCGenerator()
+        f32_servicer = SpeechServicer(pipeline, frontend, forward, gen)
+        resp_f32 = f32_servicer.Recognize(request)
+        forward.fused_i16 = fused_i16
+        i16_servicer = SpeechServicer(pipeline, frontend, forward, gen)
+        resp_i16 = i16_servicer.Recognize(request)
+        assert resp_i16.results[0].alternatives[0].transcript == \
+            resp_f32.results[0].alternatives[0].transcript

@@ -88,3 +88,27 @@ class TestTranscribeCLI:
         # hyper-params come FROM the checkpoint (spec: transcribe.py:26)
         assert args.sample_rate == 8000
         assert args.num_input_features == 16
+
+    def test_none_hyperparams_in_checkpoint_args_use_zoo_defaults(
+            self, checkpoint_and_audio, tmp_path):
+        """Checkpoints trained without explicit --base-width/--dropout record
+        None in args; setup must fall back to the zoo defaults instead of
+        overriding the model with None (regression: base_width=None from a
+        smoke-trained checkpoint crashed serve/transcribe/benchmark)."""
+        import shutil
+        from convasr_tpu.cli.transcribe import build_parser, setup
+        ckpt_path, wav_path, tmp = checkpoint_and_audio
+        ckpt2 = str(tmp_path / 'ckpt_none')
+        shutil.copytree(ckpt_path, ckpt2)
+        meta_path = os.path.join(ckpt2, 'meta.json')
+        meta = json.load(open(meta_path))
+        meta['args']['base_width'] = None
+        meta['args']['dropout'] = None
+        json.dump(meta, open(meta_path, 'w'))
+        args = build_parser().parse_args([
+            '--checkpoint', ckpt2, '-i', wav_path, '--output-json',
+            '--bf16', 'false'])
+        _, _, model, forward, _, _ = setup(args)
+        # zoo default for JasperNetSmall would differ from the saved width-8
+        # weights; the None must simply be ignored, not applied
+        assert model.base_width is not None

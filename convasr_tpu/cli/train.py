@@ -194,6 +194,22 @@ def to_host_batch(meta_s_x):
                       y=np.asarray(y, np.int32), ylen=np.asarray(ylen, np.int32))
 
 
+def transport_cast(batch, transport):
+    """Host-side leg of the int16 device transport (train/loop.py
+    undo_int16_transport does the on-device /32767): raw-audio (B, T) or
+    (K, B, T) float32 rows become int16 PCM — HALF the host->device bytes,
+    measured 1.9x sustained train throughput through the tunneled v5e
+    (scripts/train_feed_probe.py). Bit-exact for int16-sourced corpora
+    (every real one). The train batch x is always raw mono audio here
+    ((B, T), or (K, B, T) stacked — see to_host_batch); non-float32 x
+    passes through."""
+    x = batch.get('x')
+    if transport == 'int16' and x is not None and x.dtype == np.float32:
+        batch = dict(batch, x=(np.clip(x, -1.0, 1.0) * 32767.0)
+                     .round().astype(np.int16))
+    return batch
+
+
 def put_batch(batch, mesh=None, stacked=False):
     """Host batch -> device. `stacked` marks a (K, B, ...) multi-step stack
     (batch dim is axis 1)."""
@@ -206,9 +222,31 @@ def put_batch(batch, mesh=None, stacked=False):
     return jax.tree.map(jnp.asarray, batch)
 
 
-def to_device_batch(meta_s_x, mesh=None):
+def to_device_batch(meta_s_x, mesh=None, transport='float32'):
     meta, batch = to_host_batch(meta_s_x)
-    return meta, put_batch(batch, mesh)
+    return meta, put_batch(transport_cast(batch, transport), mesh)
+
+
+def group_cache_batches(index_batches, k, dcache):
+    """--device-cache analogue of group_same_shape: yield (bucket,
+    [row-index arrays]) groups of up to k consecutive SAME-BUCKET sampler
+    batches (same bucket -> same compiled shape). `k` may be a callable."""
+    k_fn = k if callable(k) else (lambda: k)
+    group, bkt, cap = [], None, None
+    for idx_batch in index_batches:
+        b, rows = dcache.locate(idx_batch)
+        if group and (b != bkt or len(rows) != len(group[0])):
+            yield bkt, group
+            group, cap = [], None
+        if cap is None:
+            cap = max(k_fn(), 1)
+        bkt = b
+        group.append(rows)
+        if len(group) >= cap:
+            yield bkt, group
+            group, bkt, cap = [], None, None
+    if group:
+        yield bkt, group
 
 
 def group_same_shape(batch_source, k):
@@ -291,7 +329,8 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
                                 num_workers=getattr(args, 'num_workers', 4) or 0)
         logits_payload, logits_idx = {}, 0
         for collated in loader:
-            meta, batch = to_device_batch(collated)
+            meta, batch = to_device_batch(
+                collated, transport=getattr(args, 'device_transport', 'float32'))
             outputs, metrics_dev = eval_step(state.params, state.batch_stats, batch)
             loss = np.asarray(metrics_dev['loss'])
             entropy = np.asarray(metrics_dev['entropy'])
@@ -713,6 +752,41 @@ def main(args):
         multi_step = jax.jit(multi_step_fn, donate_argnums=(0,))
         train_step = jax.jit(train_step, donate_argnums=(0,))
 
+    # --device-cache: whole corpus resident in HBM (int16), steps ship only
+    # row indices — the TPU-first answer to the host->device audio stream
+    # being the train bottleneck (see data/device_cache.py for measurements)
+    dcache = cached_step = cached_multi = None
+    if getattr(args, 'device_cache', False):
+        if world > 1 or train_datasets is not None:
+            _print('--device-cache needs single-process + a single train '
+                   'dataset; falling back to streaming batches')
+        else:
+            from ..data.device_cache import (DeviceDatasetCache,
+                                             make_cached_train_step,
+                                             make_cached_multi_step)
+            try:
+                dcache = DeviceDatasetCache.build(
+                    train_dataset,
+                    time_padding_multiple=args.batch_time_padding_multiple,
+                    num_workers=args.num_workers or 0)
+            except MemoryError as e:
+                _print(f'--device-cache disabled: {e}')
+            if dcache is not None:
+                dcache.upload(sharding=repl if mesh is not None else None)
+                base_step = make_train_step(model, optimizer, bpe_only=args.bpe_only)
+                cs = make_cached_train_step(base_step)
+                cm = make_cached_multi_step(base_step)
+                if mesh is not None:
+                    cached_step = jax.jit(
+                        cs, in_shardings=(repl, repl, shard, repl),
+                        out_shardings=(repl, repl), donate_argnums=(0,))
+                    cached_multi = jax.jit(
+                        cm, in_shardings=(repl, repl, stacked_shard, repl),
+                        out_shardings=(repl, repl), donate_argnums=(0,))
+                else:
+                    cached_step = jax.jit(cs, donate_argnums=(0,))
+                    cached_multi = jax.jit(cm, donate_argnums=(0,))
+
     tensorboard = TensorboardSink(
         os.path.join(args.experiment_dir, 'tensorboard')
         if args.tensorboard and rank == 0 else None)
@@ -747,14 +821,38 @@ def main(args):
                 cap = min(cap, max(args.iterations - iteration, 1))
             return max(cap, 1)
 
-        for metas, host_batches in group_same_shape(batch_source, k_cap):
+        if dcache is not None:
+            source_groups = group_cache_batches(iter(sampler), k_cap, dcache)
+        else:
+            source_groups = group_same_shape(batch_source, k_cap)
+        for metas, host_batches in source_groups:
             data_time = time.time() - toc
             k = len(host_batches)
             base_key = jax.random.PRNGKey(args.seed)
             keys = np.stack([np.asarray(jax.random.fold_in(base_key, iteration + j))
                              for j in range(k)])
-            if k == 1:
-                batch = put_batch(host_batches[0], mesh)
+            transport = getattr(args, 'device_transport', 'float32')
+            if dcache is not None:
+                cache_dev = dcache.device[metas]  # metas IS the bucket id here
+                if k == 1:
+                    rows = jnp.asarray(host_batches[0])
+                    key = jnp.asarray(keys[0])
+                    if mesh is not None:
+                        rows = jax.device_put(host_batches[0], shard)
+                        key = jax.device_put(keys[0], repl)
+                    state, metrics_dev = cached_step(state, cache_dev, rows, key)
+                    stacked_metrics = False
+                else:
+                    rows_k = np.stack(host_batches)
+                    rows_k = jax.device_put(rows_k, stacked_shard) \
+                        if mesh is not None else jnp.asarray(rows_k)
+                    keys_dev = jax.device_put(keys, repl) if mesh is not None \
+                        else jnp.asarray(keys)
+                    state, metrics_dev = cached_multi(state, cache_dev,
+                                                      rows_k, keys_dev)
+                    stacked_metrics = True
+            elif k == 1:
+                batch = put_batch(transport_cast(host_batches[0], transport), mesh)
                 key = jnp.asarray(keys[0])
                 if mesh is not None:
                     key = jax.device_put(np.asarray(key) if world > 1 else key, repl)
@@ -763,7 +861,8 @@ def main(args):
             else:
                 stacked = {kk: np.stack([hb[kk] for hb in host_batches])
                            for kk in host_batches[0]}
-                batch = put_batch(stacked, mesh, stacked=True)
+                batch = put_batch(transport_cast(stacked, transport), mesh,
+                                  stacked=True)
                 keys_dev = jax.device_put(keys, repl) if mesh is not None \
                     else jnp.asarray(keys)
                 state, metrics_dev = multi_step(state, batch, keys_dev)
@@ -977,7 +1076,25 @@ def build_parser():
                              'than the dispatch latency (small models / tiny '
                              'batches); for JasperNetBig at B=64 the async '
                              'dispatch already hides behind the 183 ms step '
-                             '(measured: +1%%). val/ckpt boundaries respected')
+                             '(measured: +1%%), and when upload-bound the '
+                             'K-batch synchronous transfer HURTS (measured '
+                             '881 vs 1171 audio-sec/s, train_feed_probe.py). '
+                             'val/ckpt boundaries respected')
+    parser.add_argument('--device-transport', choices=['float32', 'int16'],
+                        default='int16',
+                        help='audio rides the host->device link as int16 PCM '
+                             '(/32767 on device, bit-exact for int16-sourced '
+                             'corpora) — HALF the bytes; measured 1.9x '
+                             'sustained train throughput through the '
+                             'tunneled v5e (scripts/train_feed_probe.py)')
+    parser.add_argument('--device-cache', action='store_true',
+                        help='hold the ENTIRE training set in HBM as int16 '
+                             '(16 GB fits ~270 h of 8 kHz audio) and ship '
+                             'only (B,) row indices per step — removes the '
+                             'host->device audio stream from the train loop '
+                             'entirely (single-process, single dataset; '
+                             'combines with --steps-per-dispatch for '
+                             'near-zero dispatch overhead)')
     parser.add_argument('--num-workers', type=int, default=4,
                         help='audio-decode prefetch threads (0 = synchronous)')
     parser.add_argument('--timeout', type=float, default=0.0,

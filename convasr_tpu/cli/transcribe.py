@@ -236,7 +236,19 @@ def main(args, ext_json=('.json', '.json.gz')):
         fused_ok = (decoder is None and not args.align and not args.logits
                     and getattr(forward, 'fused', None) is not None)
         try:
-            if fused_ok:
+            if fused_ok and args.device_transport == 'int16':
+                # audio rides the host->device link as int16 PCM (HALF the
+                # bytes; bit-exact for int16-sourced corpora) and the /32767
+                # scale runs on device — see train_feed_probe.py measurements
+                xi = (np.clip(x[:, 0, :], -1.0, 1.0) * 32767.0) \
+                    .round().astype(np.int16)
+                packed = np.asarray(forward.fused_i16(jnp.asarray(xi),
+                                                      jnp.asarray(xlen)))
+                most_probable_idx = packed[..., 0].astype(np.int64)
+                n_frames = packed.shape[1]
+                olen = np.ceil(np.asarray(xlen, np.float64) * n_frames).astype(np.int64)
+                log_probs = logits = None
+            elif fused_ok:
                 packed = np.asarray(forward.fused(jnp.asarray(x[:, 0, :]),
                                                   jnp.asarray(xlen)))
                 most_probable_idx = packed[..., 0].astype(np.int64)
@@ -434,6 +446,12 @@ def build_parser():
     parser.add_argument('--normalize-signal', default=True,
                         type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
     parser.add_argument('--dither0', type=float, default=0.0)
+    parser.add_argument('--device-transport', choices=['float32', 'int16'],
+                        default='int16',
+                        help='ship audio to the device as int16 PCM (half '
+                             'the host->device bytes, /32767 on device; '
+                             'bit-exact for int16-sourced corpora). Applies '
+                             'to the fused greedy path')
     parser.add_argument('--logits-topk', type=int, default=0,
                         help='store only top-k classes per frame (sparse logits)')
     parser.add_argument('--align-boundary-words', action='store_true')

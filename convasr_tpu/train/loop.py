@@ -57,6 +57,16 @@ def margin(log_probs, axis=-1):
     return top2[..., 0] - top2[..., 1]
 
 
+def undo_int16_transport(x):
+    """Audio may ride the host->device link as int16 PCM (half the bytes —
+    measured 1.9x sustained train throughput through the tunneled v5e, see
+    scripts/train_feed_probe.py); the /32767 scale (audio/io.py SMAX) runs
+    on device. float inputs (features or f32 transport) pass through."""
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) / jnp.float32(32767.0)
+    return x
+
+
 def compute_losses(outputs, y, ylen, bpe_only: bool = False):
     """Per-utterance CTC loss summed over heads, each normalized by the
     FIRST head's target length (spec: models.py:320-325)."""
@@ -119,7 +129,8 @@ def make_train_step(model, optimizer, bpe_only: bool = False,
         # training, models.py:571-572)
         k_dropout, k_augment, k_dither = jax.random.split(key, 3)
         outputs, mutated = model.apply(
-            variables, batch['x'], xlen=batch['xlen'], training=True,
+            variables, undo_int16_transport(batch['x']), xlen=batch['xlen'],
+            training=True,
             mutable=['batch_stats'], rngs={'dropout': k_dropout, 'augment': k_augment},
             dither_key=k_dither)
         loss_per_utt = compute_losses(outputs, batch['y'], batch['ylen'], bpe_only=bpe_only)
@@ -163,7 +174,7 @@ def make_eval_step(model, bpe_only: bool = False, forward_x_only: bool = False):
     reference --forward-x-only, train.py:1026)."""
     def eval_step(params, batch_stats, batch):
         outputs = model.apply({'params': params, 'batch_stats': batch_stats},
-                              batch['x'],
+                              undo_int16_transport(batch['x']),
                               xlen=None if forward_x_only else batch['xlen'],
                               training=False)
         metrics = {}
@@ -190,7 +201,8 @@ def make_bn_adapt_step(model):
     (spec: --adapt-bn, train.py:182-186)."""
     def adapt_step(params, batch_stats, batch):
         _, mutated = model.apply({'params': params, 'batch_stats': batch_stats},
-                                 batch['x'], xlen=batch['xlen'], training=True,
+                                 undo_int16_transport(batch['x']),
+                                 xlen=batch['xlen'], training=True,
                                  mutable=['batch_stats'],
                                  rngs={'dropout': jax.random.PRNGKey(0)})
         return mutated['batch_stats']

@@ -125,6 +125,41 @@ class TestTrainCLI:
         np.testing.assert_allclose(losses[3], losses[1], rtol=1e-5, atol=1e-6)
 
 
+    def test_device_cache_matches_streaming(self, corpus, monkeypatch, tmp_path):
+        """--device-cache (corpus resident in HBM, steps gather by row index)
+        must reproduce the streaming trajectory EXACTLY: same sampler
+        schedule, same int16-quantized audio, same keys -> same losses.
+        Also exercises the cached multi-step scan (--steps-per-dispatch)."""
+        from convasr_tpu.cli import train as train_cli
+        from convasr_tpu.models import zoo
+        orig = zoo.create_model
+
+        def small_create(name, **kw):
+            kw.setdefault('base_width', 8)
+            return orig(name, **kw)
+        monkeypatch.setattr(zoo, 'create_model', small_create)
+        monkeypatch.setattr(train_cli, 'create_model', small_create)
+
+        tmp, train_json, val_json = corpus
+        losses = {}
+        for mode, cached, spd in [('stream', False, 1), ('cache', True, 1),
+                                  ('cache_k2', True, 2)]:
+            args = make_args(tmp, train_json, val_json,
+                             experiments_dir=str(tmp_path / f'exp_{mode}'),
+                             iterations=4, val_iteration_interval=0,
+                             checkpoint_skip=True, dropout=0.0,
+                             device_cache=cached, steps_per_dispatch=spd,
+                             num_workers=0)
+            train_cli.main(args)
+            log = os.path.join(str(tmp_path / f'exp_{mode}'), 'smoke', 'log.json')
+            losses[mode] = [json.loads(l)['loss'] for l in open(log)]
+        assert len(losses['cache']) == len(losses['stream']) == 4
+        np.testing.assert_allclose(losses['cache'], losses['stream'],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(losses['cache_k2'], losses['stream'],
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestValDecoderAndLogits:
     """Round-2 flag parity: --decoder/--logits/--csv-columns actually work at
     validation (the reference parses but never wires them, train.py:553,975)."""

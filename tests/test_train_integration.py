@@ -302,3 +302,51 @@ class TestCheckpoints:
         with torch.no_grad():
             ref = oracle.eval()(torch.as_tensor(x).permute(0, 2, 1)).numpy()
         np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+class TestInt16Transport:
+    def test_int16_transport_matches_float32(self):
+        """transport_cast (host) + undo_int16_transport (device) round-trips
+        int16-sourced audio bit-exactly, so the train step's loss is
+        IDENTICAL to the float32-transport loss (the int16 link is measured
+        1.9x sustained train throughput — scripts/train_feed_probe.py)."""
+        from convasr_tpu.cli.train import transport_cast
+        from convasr_tpu.frontend.logmel import LogFilterBankFrontend
+        from convasr_tpu.models.zoo import create_model
+
+        sr, B, T, L, C = 8000, 4, 8000, 6, 6
+        rng = np.random.RandomState(0)
+        pcm = rng.randint(-8000, 8000, size=(B, T)).astype(np.int16)
+        x = (pcm.astype(np.float32) / 32767.0)  # int16-sourced, the real case
+        batch = dict(x=x, xlen=np.ones((B,), np.float32),
+                     y=rng.randint(0, C - 1, (B, 1, L)).astype(np.int64),
+                     ylen=np.full((B, 1), L, np.int64))
+
+        frontend = LogFilterBankFrontend(out_channels=8, sample_rate=sr,
+                                         window_size=0.02, window_stride=0.01,
+                                         dither=0.0)
+        model = create_model('JasperNetSmall', num_input_features=8,
+                             num_classes=(C,), frontend=frontend, base_width=4)
+        optimizer = make_optimizer_with_accum(make_optimizer('novograd', lambda s: 1e-2))
+        state = init_train_state(
+            model, optimizer, {k: jnp.asarray(v) for k, v in batch.items()},
+            jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(model, optimizer))
+
+        b16 = transport_cast(batch, 'int16')
+        assert b16['x'].dtype == np.int16
+        # bit-exact roundtrip for int16-sourced audio
+        np.testing.assert_array_equal(
+            np.asarray(b16['x'], np.float32) / np.float32(32767.0), x)
+        _, m32 = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                      jax.random.PRNGKey(1))
+        _, m16 = step(state, {k: jnp.asarray(v) for k, v in b16.items()},
+                      jax.random.PRNGKey(1))
+        assert float(m32['loss']) == float(m16['loss'])
+
+    def test_transport_cast_passthrough(self):
+        from convasr_tpu.cli.train import transport_cast
+        x = np.random.RandomState(0).randn(2, 100).astype(np.float32)
+        b = dict(x=x)
+        assert transport_cast(b, 'float32')['x'].dtype == np.float32
+        assert transport_cast(dict(x=x.astype(np.int16)), 'int16')['x'].dtype == np.int16

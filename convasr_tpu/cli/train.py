@@ -194,6 +194,22 @@ def to_host_batch(meta_s_x):
                       y=np.asarray(y, np.int32), ylen=np.asarray(ylen, np.int32))
 
 
+def host_fold_in_keys(seed, iterations):
+    """Per-step PRNG keys derived ON THE HOST CPU backend: threefry is
+    deterministic across backends, but running PRNGKey/fold_in eagerly on the
+    default (remote) device costs a dispatch+fetch roundtrip PER STEP through
+    the tunnel — measured as a large share of the per-dispatch overhead."""
+    try:
+        cpu = jax.devices('cpu')[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
+    with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
+        base = jax.random.PRNGKey(seed)
+        return np.stack([np.asarray(jax.random.fold_in(base, it))
+                         for it in iterations])
+
+
 def transport_cast(batch, transport):
     """Host-side leg of the int16 device transport (train/loop.py
     undo_int16_transport does the on-device /32767): raw-audio (B, T) or
@@ -559,6 +575,15 @@ def main(args):
     # optimizer + state (optionally with frozen layers for finetuning,
     # spec: model.freeze, train.py:584)
     schedule = make_lr_schedule(args)
+
+    def host_schedule(it):
+        import contextlib
+        try:
+            cpu = jax.devices('cpu')[0]
+        except RuntimeError:
+            cpu = None
+        with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
+            return float(schedule(it))
     base_opt = make_optimizer(args.optimizer, schedule, momentum=args.momentum,
                               weight_decay=args.weight_decay, betas=tuple(args.betas),
                               nesterov=args.nesterov)
@@ -794,6 +819,41 @@ def main(args):
     iteration = int(jax.device_get(state.step))
     _print(f'start training at epoch {epoch_start} iteration {iteration}')
     toc = time.time()
+
+    # metrics are fetched ONE dispatch late: device_get(metrics) of group i
+    # happens only after group i+1 is dispatched, so the device never idles
+    # on the host log fetch (the fetch itself then costs ~0 — group i is
+    # already done). Flushed before val/ckpt/epoch boundaries.
+    pending_log = []
+
+    def flush_logs(keep_last=False):
+        while len(pending_log) > (1 if keep_last else 0):
+            (p_epoch, p_start, p_k, p_metrics, p_stacked, p_data, p_wall) = \
+                pending_log.pop(0)
+            mk = jax.device_get(p_metrics)
+            step_time = p_wall / p_k
+            for j in range(p_k):
+                it = p_start + j + 1
+                if it % args.log_iteration_interval:
+                    continue
+                m = {kk: float(np.asarray(v).reshape(-1)[j if p_stacked else 0])
+                     for kk, v in mk.items()}
+                perf.update(dict(loss=m['loss'], entropy=m['entropy'],
+                                 grad_norm=m['grad_norm'],
+                                 time_ms_data=p_data * 1e3 / p_k,
+                                 time_ms_step=step_time * 1e3), prefix='train')
+                # evaluate the schedule on the CPU backend: eagerly it would
+                # run on the remote device (a ~30 ms roundtrip per log line)
+                tensorboard.train_stats(it, m, lr=float(host_schedule(it)))
+                _print(f'epoch {p_epoch} iter {it} loss {m["loss"]:.4f} '
+                       f'entropy {m["entropy"]:.3f} grad_norm {m["grad_norm"]:.3f} '
+                       f'data {p_data * 1e3 / p_k:.0f}ms step {step_time * 1e3:.0f}ms')
+                # per-rank JSON-lines sink (spec: --log-json,
+                # train.py:381-396 log.node{rank}.json)
+                if args.log_json:
+                    json_name = 'log.json' if world == 1 else f'log.node{rank}.json'
+                    with open(os.path.join(args.experiment_dir, json_name), 'a') as f:
+                        f.write(json.dumps(dict(epoch=p_epoch, iteration=it, **m)) + '\n')
     for epoch in range(epoch_start, args.epochs):
         sampler.set_epoch(epoch + args.seed_sampler)
         if train_datasets is not None:
@@ -828,9 +888,7 @@ def main(args):
         for metas, host_batches in source_groups:
             data_time = time.time() - toc
             k = len(host_batches)
-            base_key = jax.random.PRNGKey(args.seed)
-            keys = np.stack([np.asarray(jax.random.fold_in(base_key, iteration + j))
-                             for j in range(k)])
+            keys = host_fold_in_keys(args.seed, range(iteration, iteration + k))
             transport = getattr(args, 'device_transport', 'float32')
             if dcache is not None:
                 cache_dev = dcache.device[metas]  # metas IS the bucket id here
@@ -872,30 +930,17 @@ def main(args):
             sampler.batch_idx += k
             if any((iteration_start + j + 1) % args.log_iteration_interval == 0
                    for j in range(k)):
-                mk = jax.device_get(metrics_dev)
-                step_time = (time.time() - toc - data_time) / k
-                for j in range(k):
-                    it = iteration_start + j + 1
-                    if it % args.log_iteration_interval:
-                        continue
-                    m = {kk: float(np.asarray(v).reshape(-1)[j if stacked_metrics else 0])
-                         for kk, v in mk.items()}
-                    perf.update(dict(loss=m['loss'], entropy=m['entropy'],
-                                     grad_norm=m['grad_norm'],
-                                     time_ms_data=data_time * 1e3 / k,
-                                     time_ms_step=step_time * 1e3), prefix='train')
-                    tensorboard.train_stats(it, m, lr=float(schedule(it)))
-                    _print(f'epoch {epoch} iter {it} loss {m["loss"]:.4f} '
-                           f'entropy {m["entropy"]:.3f} grad_norm {m["grad_norm"]:.3f} '
-                           f'data {data_time * 1e3 / k:.0f}ms step {step_time * 1e3:.0f}ms')
-                    # per-rank JSON-lines sink (spec: --log-json,
-                    # train.py:381-396 log.node{rank}.json)
-                    if args.log_json:
-                        json_name = 'log.json' if world == 1 else f'log.node{rank}.json'
-                        with open(os.path.join(args.experiment_dir, json_name), 'a') as f:
-                            f.write(json.dumps(dict(epoch=epoch, iteration=it, **m)) + '\n')
+                pending_log.append((epoch, iteration_start, k, metrics_dev,
+                                    stacked_metrics, data_time,
+                                    time.time() - toc - data_time))
+            flush_logs(keep_last=True)
             toc = time.time()
-            if args.val_iteration_interval and iteration % args.val_iteration_interval == 0:
+            at_boundary = (args.val_iteration_interval
+                           and iteration % args.val_iteration_interval == 0)
+            if at_boundary or args.dry or \
+                    (args.iterations and iteration >= args.iterations):
+                flush_logs()
+            if at_boundary:
                 # ALL ranks evaluate their strided share of the val batches
                 # and join the allgather; rank 0 aggregates/prints.
                 # device_get makes the state host-local so the per-rank eval
@@ -919,6 +964,7 @@ def main(args):
             if args.dry or (args.iterations and iteration >= args.iterations):
                 break
         else:
+            flush_logs()
             sampler.batch_idx = 0
             if args.skip_on_epoch_end_evaluation:
                 continue
@@ -935,6 +981,7 @@ def main(args):
                     sampler_state=dict(batch_idx=0), args=vars(args))
             continue
         break
+    flush_logs()
     _print('training done')
 
 

@@ -325,8 +325,13 @@ class TestInt16Transport:
         frontend = LogFilterBankFrontend(out_channels=8, sample_rate=sr,
                                          window_size=0.02, window_stride=0.01,
                                          dither=0.0)
+        # dropout 0: the equality claim is about the int16 TRANSPORT; with
+        # dropout on, the 'rbg' PRNG (train CLI default) gives different
+        # mask bits for the f32- and int16-input programs (rbg streams are
+        # not stable across distinct compiled programs)
         model = create_model('JasperNetSmall', num_input_features=8,
-                             num_classes=(C,), frontend=frontend, base_width=4)
+                             num_classes=(C,), frontend=frontend, base_width=4,
+                             dropout=0.0)
         optimizer = make_optimizer_with_accum(make_optimizer('novograd', lambda s: 1e-2))
         state = init_train_state(
             model, optimizer, {k: jnp.asarray(v) for k, v in batch.items()},
@@ -342,7 +347,10 @@ class TestInt16Transport:
                       jax.random.PRNGKey(1))
         _, m16 = step(state, {k: jnp.asarray(v) for k, v in b16.items()},
                       jax.random.PRNGKey(1))
-        assert float(m32['loss']) == float(m16['loss'])
+        # allclose, not ==: the int16-input program may fuse the on-device
+        # /32767 into the frontend with different float association
+        np.testing.assert_allclose(float(m32['loss']), float(m16['loss']),
+                                   rtol=1e-5)
 
     def test_transport_cast_passthrough(self):
         from convasr_tpu.cli.train import transport_cast

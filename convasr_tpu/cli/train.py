@@ -200,7 +200,9 @@ def host_fold_in_keys(seed, iterations):
     default (remote) device costs a dispatch+fetch roundtrip PER STEP through
     the tunnel — measured as a large share of the per-dispatch overhead."""
     try:
-        cpu = jax.devices('cpu')[0]
+        # local_devices, NOT devices: under multi-process, devices('cpu')[0]
+        # can be ANOTHER rank's (non-addressable) device
+        cpu = jax.local_devices(backend='cpu')[0]
     except RuntimeError:
         cpu = None
     import contextlib
@@ -584,7 +586,7 @@ def main(args):
     def host_schedule(it):
         import contextlib
         try:
-            cpu = jax.devices('cpu')[0]
+            cpu = jax.local_devices(backend='cpu')[0]
         except RuntimeError:
             cpu = None
         with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():

@@ -211,10 +211,37 @@ def main(args, ext_json=('.json', '.json.gz')):
     from ..data.loader import prefetch_map
     items = prefetch_map(dataset.__getitem__, range(len(dataset)),
                          num_workers=args.num_workers)
-    for i, item in enumerate(items):
+
+    # fused-path software pipeline: collate + host->device upload + async
+    # dispatch happen ONE item ahead (ordered single-worker lookahead), so
+    # the device computes item i+1 while the host fetches/post-processes
+    # item i. Through the tunnel the upload is a large share of the
+    # end-to-end cost (CLAUDE.md: 8-120 MB/s link) — overlapping it with
+    # the host tail roughly doubles sustained CLI throughput.
+    def collate_and_dispatch(item):
+        collated = dataset.collate_fn(item)
+        _, _, x, xlen, _, _ = collated
+        fused_ok = (decoder is None and not args.align and not args.logits
+                    and getattr(forward, 'fused', None) is not None)
+        dev = None
+        if x.size and fused_ok:
+            try:
+                if args.device_transport == 'int16':
+                    xi = (np.clip(x[:, 0, :], -1.0, 1.0) * 32767.0) \
+                        .round().astype(np.int16)
+                    dev = forward.fused_i16(jnp.asarray(xi), jnp.asarray(xlen))
+                else:
+                    dev = forward.fused(jnp.asarray(x[:, 0, :]), jnp.asarray(xlen))
+            except Exception as e:  # surfaced (and possibly skipped) at fetch
+                dev = e
+        return collated, dev
+
+    pipelined = prefetch_map(collate_and_dispatch, items, num_workers=1,
+                             lookahead=2)
+    for i, (collated, packed_dev) in enumerate(pipelined):
         # non-default modes: one example IS one batch (batch_size=None
         # semantics, transcribe.py:102); collate zips the per-segment lists
-        meta, s, x, xlen, y, ylen = dataset.collate_fn(item)
+        meta, s, x, xlen, y, ylen = collated
         meta = [meta_table[t['example_id']] for t in meta]
         audio_path = meta[0]['audio_path']
         audio_name = transcripts.audio_name(audio_path)
@@ -233,24 +260,13 @@ def main(args, ext_json=('.json', '.json.gz')):
         # pure greedy runs need only the argmax path: the fused forward packs
         # idx+confidence into ONE small buffer (vs three incl. the full
         # posterior), cutting the device->host transfer ~60x
-        fused_ok = (decoder is None and not args.align and not args.logits
-                    and getattr(forward, 'fused', None) is not None)
         try:
-            if fused_ok and args.device_transport == 'int16':
-                # audio rides the host->device link as int16 PCM (HALF the
-                # bytes; bit-exact for int16-sourced corpora) and the /32767
-                # scale runs on device — see train_feed_probe.py measurements
-                xi = (np.clip(x[:, 0, :], -1.0, 1.0) * 32767.0) \
-                    .round().astype(np.int16)
-                packed = np.asarray(forward.fused_i16(jnp.asarray(xi),
-                                                      jnp.asarray(xlen)))
-                most_probable_idx = packed[..., 0].astype(np.int64)
-                n_frames = packed.shape[1]
-                olen = np.ceil(np.asarray(xlen, np.float64) * n_frames).astype(np.int64)
-                log_probs = logits = None
-            elif fused_ok:
-                packed = np.asarray(forward.fused(jnp.asarray(x[:, 0, :]),
-                                                  jnp.asarray(xlen)))
+            if isinstance(packed_dev, Exception):
+                raise packed_dev
+            if packed_dev is not None:
+                # fused greedy path, dispatched one item ahead (see
+                # collate_and_dispatch): ONE small packed fetch
+                packed = np.asarray(packed_dev)
                 most_probable_idx = packed[..., 0].astype(np.int64)
                 n_frames = packed.shape[1]
                 olen = np.ceil(np.asarray(xlen, np.float64) * n_frames).astype(np.int64)

@@ -486,13 +486,22 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
 
 
 def main(args):
-    from ..infra.utils import enable_compilation_cache, select_device
-    select_device(getattr(args, 'device', None))
     # rbg = the hardware RNG path: threefry dropout-mask generation costs
     # 58 ms/step on JasperNetBig B=64 (182 -> 133 ms/step measured on the
     # v5e, i.e. +37% training throughput at dropout 0.2). Same-impl runs
     # stay bit-deterministic; use threefry for cross-backend portability.
+    # The global config is restored on exit (in-process callers, tests).
+    prev_prng = jax.config.jax_default_prng_impl
     jax.config.update('jax_default_prng_impl', getattr(args, 'prng', 'rbg'))
+    try:
+        return _main(args)
+    finally:
+        jax.config.update('jax_default_prng_impl', prev_prng)
+
+
+def _main(args):
+    from ..infra.utils import enable_compilation_cache, select_device
+    select_device(getattr(args, 'device', None))
     # reference-compat DDP rendezvous flags map onto jax.distributed
     # (--world-size/--master-ip/--master-port/--start-rank, train.py:1045-1052)
     if getattr(args, 'world_size', 0) and not args.num_processes:
@@ -835,10 +844,13 @@ def main(args):
 
     def flush_logs(keep_last=False):
         while len(pending_log) > (1 if keep_last else 0):
-            (p_epoch, p_start, p_k, p_metrics, p_stacked, p_data, p_wall) = \
+            (p_epoch, p_start, p_k, p_metrics, p_stacked, p_data, p_dispatch_t) = \
                 pending_log.pop(0)
-            mk = jax.device_get(p_metrics)
-            step_time = p_wall / p_k
+            mk = jax.device_get(p_metrics)  # blocks until the group completes
+            # dispatch->completion wall: the async dispatch returns in ~ms,
+            # so the honest per-step time is measured here, where the fetch
+            # has waited out the device compute
+            step_time = (time.time() - p_dispatch_t) / p_k
             for j in range(p_k):
                 it = p_start + j + 1
                 if it % args.log_iteration_interval:
@@ -900,11 +912,12 @@ def main(args):
             if dcache is not None:
                 cache_dev = dcache.device[metas]  # metas IS the bucket id here
                 if k == 1:
-                    rows = jnp.asarray(host_batches[0])
-                    key = jnp.asarray(keys[0])
                     if mesh is not None:
                         rows = jax.device_put(host_batches[0], shard)
                         key = jax.device_put(keys[0], repl)
+                    else:
+                        rows = jnp.asarray(host_batches[0])
+                        key = jnp.asarray(keys[0])
                     state, metrics_dev = cached_step(state, cache_dev, rows, key)
                     stacked_metrics = False
                 else:
@@ -938,8 +951,7 @@ def main(args):
             if any((iteration_start + j + 1) % args.log_iteration_interval == 0
                    for j in range(k)):
                 pending_log.append((epoch, iteration_start, k, metrics_dev,
-                                    stacked_metrics, data_time,
-                                    time.time() - toc - data_time))
+                                    stacked_metrics, data_time, time.time()))
             flush_logs(keep_last=True)
             toc = time.time()
             at_boundary = (args.val_iteration_interval

@@ -283,8 +283,10 @@ def main(args, ext_json=('.json', '.json.gz')):
                 print(f'Skipping {i}/{len(dataset)} [{audio_path}] after OOM: {e}')
                 continue
             raise
+        # on the pipelined fused path the forward was dispatched one item
+        # ahead, so this measures fetch (+any residual compute), not dispatch
         print(f'Processing {i}/{len(dataset)}: {audio_path} '
-              f'({duration:.2f}s audio, {time.time() - tic:.2f}s compute)')
+              f'({duration:.2f}s audio, {time.time() - tic:.2f}s fetch+decode)')
 
         ts = duration * np.linspace(0, 1, n_frames)[None, :].repeat(x.shape[0], axis=0)
 

@@ -68,6 +68,13 @@ class SpeechServicer:
                 None, raw_bytes=request.audio.content,
                 raw_sample_rate=req_rate, raw_num_channels=req_channels,
                 raw_dtype='int16', sample_rate=self.frontend.sample_rate, mono=True)
+            if fused_i16 is not None and self.decoder is None:
+                # re-quantize resampled/downmixed audio so it rides the same
+                # int16 path (and the same int16 BATCHER) as direct requests
+                # — the /32767 scale runs on device either way
+                signal = (np.clip(signal, -1.0, 1.0) * 32767.0) \
+                    .round().astype(np.int16)
+                i16_ok = True
 
         import jax.numpy as jnp
         T = signal.shape[-1]
@@ -96,9 +103,10 @@ class SpeechServicer:
                                 end_time=mktime(duration), speaker_tag=0)
                            for w in hyp.split()])],
                 channel_tag=1)])
-        if self.batcher is not None and (
-                i16_ok or self.batcher.dtype != np.int16):
-            # concurrent requests share ONE padded device dispatch
+        if self.batcher is not None and padded.dtype == self.batcher.dtype:
+            # concurrent requests share ONE padded device dispatch (dtype
+            # must MATCH the batcher: an int16 row through a float32 batcher
+            # would reach the model unscaled by /32767, and vice versa)
             packed = self.batcher(padded[0], T / T_pad)        # (1, T', 2)
             idx = packed[..., 0].astype(np.int64)
             n_frames = packed.shape[1]

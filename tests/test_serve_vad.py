@@ -313,10 +313,12 @@ class TestInt16Ingest:
             out = model.apply(variables, x, xlen=xlen)
             return out['log_probs'][0], out['logits'][0], out['olen'][0]
 
-        forward.fused = jax.jit(
-            lambda x, xlen: packed_of(model.apply(variables, x, xlen=xlen)))
-        fused_i16 = jax.jit(lambda xi, xlen: packed_of(model.apply(
-            variables, xi.astype(jnp.float32) / jnp.float32(32767.0), xlen=xlen)))
+        # variables as jit ARGUMENTS, not closure constants (CLAUDE.md rule)
+        _fused = jax.jit(lambda v, x, xlen: packed_of(model.apply(v, x, xlen=xlen)))
+        _fused_i16 = jax.jit(lambda v, xi, xlen: packed_of(model.apply(
+            v, xi.astype(jnp.float32) / jnp.float32(32767.0), xlen=xlen)))
+        forward.fused = lambda x, xlen: _fused(variables, x, xlen)
+        fused_i16 = lambda xi, xlen: _fused_i16(variables, xi, xlen)
 
         rng = np.random.RandomState(5)
         pcm = (0.3 * rng.randn(sr) * 32767).astype('<i2').tobytes()

@@ -280,6 +280,7 @@ def server_batching(tmp_path_factory):
     server.stop(0)
 
 
+
 class TestInt16Ingest:
     def test_i16_fast_path_matches_f32(self, tmp_path):
         """The int16 on-device-scale ingest (fused_i16; /32767 == audio/io.py
@@ -336,3 +337,71 @@ class TestInt16Ingest:
         resp_i16 = i16_servicer.Recognize(request)
         assert resp_i16.results[0].alternatives[0].transcript == \
             resp_f32.results[0].alternatives[0].transcript
+
+    def test_resampled_request_rides_the_int16_batcher(self, tmp_path):
+        """A request needing resample (16 kHz -> 8 kHz model) must be
+        re-quantized to int16 after read_audio and coalesce through the SAME
+        int16 DynamicBatcher as direct requests (regression: such requests
+        silently bypassed batching; and an int16 row through a float32
+        batcher would reach the model unscaled)."""
+        from convasr_tpu.frontend.logmel import LogFilterBankFrontend
+        from convasr_tpu.models.zoo import create_model
+        from convasr_tpu.decode.generators import GreedyCTCGenerator
+        from convasr_tpu.serve import cloud_speech_pb2 as pb2
+        from convasr_tpu.serve.batching import DynamicBatcher
+        from convasr_tpu.serve.grpc_google_api import SpeechServicer
+        from convasr_tpu.text import ProcessingPipeline
+
+        config = ProcessingPipeline.load_config(str(ROOT / 'configs' / 'ru_text_config.json'))
+        pipeline = ProcessingPipeline.make(config, 'char_legacy')
+        sr = 8000
+        frontend = LogFilterBankFrontend(out_channels=16, sample_rate=sr,
+                                         window_size=0.02, window_stride=0.01,
+                                         dither=0.0)
+        model = create_model('JasperNetSmall', num_input_features=16,
+                             num_classes=(pipeline.tokenizer.vocab_size,),
+                             frontend=frontend, base_width=8)
+        x0 = jnp.zeros((1, sr), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x0,
+                               xlen=jnp.ones((1,), jnp.float32))
+
+        def packed_of(out):
+            lp = out['log_probs'][0]
+            return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
+                              jnp.max(lp, -1).astype(jnp.float32)], -1)
+
+        _fused_i16 = jax.jit(lambda v, xi, xlen: packed_of(model.apply(
+            v, xi.astype(jnp.float32) / jnp.float32(32767.0), xlen=xlen)))
+
+        def forward(x, xlen):
+            out = model.apply(variables, x, xlen=xlen)
+            return out['log_probs'][0], out['logits'][0], out['olen'][0]
+        forward.fused_i16 = lambda xi, xlen: _fused_i16(variables, xi, xlen)
+
+        batcher = DynamicBatcher(forward.fused_i16, max_batch=2,
+                                 max_wait_ms=2, dtype=np.int16)
+        servicer = SpeechServicer(pipeline, frontend, forward,
+                                  GreedyCTCGenerator(), batcher=batcher)
+
+        rng = np.random.RandomState(7)
+        request = pb2.RecognizeRequest()
+        request.config.encoding = pb2.RecognitionConfig.LINEAR16
+        request.config.sample_rate_hertz = 16000       # needs resample
+        request.config.audio_channel_count = 1
+        request.audio.content = (0.3 * rng.randn(16000) * 32767) \
+            .astype('<i2').tobytes()
+        resp = servicer.Recognize(request)
+        assert resp.results
+        assert batcher.dispatches >= 1, \
+            'resampled request did not go through the batcher'
+
+        # float32 batcher + int16-capable forward: dtype-mismatch guard must
+        # keep int16 rows OUT of the float batcher (they would be unscaled)
+        f32_batcher = DynamicBatcher(lambda x, xl: np.zeros((1, 4, 2)),
+                                     max_batch=2, max_wait_ms=2)
+        servicer2 = SpeechServicer(pipeline, frontend, forward,
+                                   GreedyCTCGenerator(), batcher=f32_batcher)
+        resp2 = servicer2.Recognize(request)
+        assert resp2.results
+        assert f32_batcher.dispatches == 0, \
+            'int16 row went through the float32 batcher (unscaled audio)'

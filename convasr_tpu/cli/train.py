@@ -222,9 +222,18 @@ def transport_cast(batch, transport):
     ((B, T), or (K, B, T) stacked — see to_host_batch); non-float32 x
     passes through."""
     x = batch.get('x')
-    if transport == 'int16' and x is not None and x.dtype == np.float32:
+    if x is None or x.dtype != np.float32:
+        return batch
+    if transport == 'int16':
         batch = dict(batch, x=(np.clip(x, -1.0, 1.0) * 32767.0)
                      .round().astype(np.int16))
+    elif transport == 'mulaw':
+        # G.711-style mu-law companding to uint8 (QUARTER the f32 bytes);
+        # decode runs on device (train/loop.py undo_int16_transport)
+        from ..train.loop import MULAW_MU
+        xc = np.clip(x, -1.0, 1.0)
+        y = np.sign(xc) * np.log1p(MULAW_MU * np.abs(xc)) / np.log1p(MULAW_MU)
+        batch = dict(batch, x=(y * 127.0 + 128.0).round().astype(np.uint8))
     return batch
 
 
@@ -841,16 +850,23 @@ def _main(args):
     # on the host log fetch (the fetch itself then costs ~0 — group i is
     # already done). Flushed before val/ckpt/epoch boundaries.
     pending_log = []
+    # sustained-rate anchor: dispatch timestamp + iteration of the previous
+    # LOGGED group; reset at val/ckpt/epoch boundaries so eval wall time is
+    # not attributed to train steps
+    last_logged = {'t': None, 'it': None}
 
     def flush_logs(keep_last=False):
+        if not keep_last:
+            last_logged['t'] = None
         while len(pending_log) > (1 if keep_last else 0):
-            (p_epoch, p_start, p_k, p_metrics, p_stacked, p_data, p_dispatch_t) = \
-                pending_log.pop(0)
+            (p_epoch, p_start, p_k, p_metrics, p_stacked, p_data, p_dispatch_t,
+             p_step_time) = pending_log.pop(0)
             mk = jax.device_get(p_metrics)  # blocks until the group completes
-            # dispatch->completion wall: the async dispatch returns in ~ms,
-            # so the honest per-step time is measured here, where the fetch
-            # has waited out the device compute
-            step_time = (time.time() - p_dispatch_t) / p_k
+            # sustained dispatch-to-dispatch rate when a previous logged
+            # group anchors it; else dispatch->completion of this group
+            # (the async dispatch itself returns in ~ms)
+            step_time = p_step_time if p_step_time is not None \
+                else (time.time() - p_dispatch_t) / p_k
             for j in range(p_k):
                 it = p_start + j + 1
                 if it % args.log_iteration_interval:
@@ -888,6 +904,11 @@ def _main(args):
                                                 num_workers=args.num_workers,
                                                 timeout=args.timeout or None)
         k_max = max(getattr(args, 'steps_per_dispatch', 1), 1)
+        transport = getattr(args, 'device_transport', 'float32')
+        # groups may be FORMED one ahead of consumption (upload lookahead
+        # below), so the cap tracks a planned-iteration counter instead of
+        # the loop's `iteration` — the two agree when there is no lookahead
+        planned = {'it': iteration}
 
         def k_cap():
             # never let a multi-step dispatch overshoot a val/ckpt boundary
@@ -895,20 +916,55 @@ def _main(args):
             cap = 1 if args.dry else k_max
             if args.val_iteration_interval:
                 cap = min(cap, args.val_iteration_interval
-                          - iteration % args.val_iteration_interval)
+                          - planned['it'] % args.val_iteration_interval)
             if args.iterations:
-                cap = min(cap, max(args.iterations - iteration, 1))
+                cap = min(cap, max(args.iterations - planned['it'], 1))
             return max(cap, 1)
 
+        def count_planned(groups):
+            for metas, host_batches in groups:
+                planned['it'] += len(host_batches)
+                yield metas, host_batches
+
+        def upload_stage(groups):
+            """Host->device transfer of each streaming group, driven ONE
+            group ahead by lookahead1: the upload of group i+1 overlaps the
+            device compute of group i (partial overlap measured through the
+            tunnel; full overlap on PCIe hosts)."""
+            for metas, host_batches in groups:
+                if len(host_batches) == 1:
+                    dev = put_batch(transport_cast(host_batches[0], transport),
+                                    mesh)
+                else:
+                    stacked = {kk: np.stack([hb[kk] for hb in host_batches])
+                               for kk in host_batches[0]}
+                    dev = put_batch(transport_cast(stacked, transport), mesh,
+                                    stacked=True)
+                yield metas, host_batches, dev
+
+        def lookahead1(gen):
+            it = iter(gen)
+            buf = next(it, None)
+            while buf is not None:
+                nxt = next(it, None)  # form + upload the NEXT group now
+                yield buf
+                buf = nxt
+
         if dcache is not None:
-            source_groups = group_cache_batches(iter(sampler), k_cap, dcache)
+            source_groups = ((m, hb, None) for m, hb in count_planned(
+                group_cache_batches(iter(sampler), k_cap, dcache)))
+        elif world == 1:
+            source_groups = lookahead1(upload_stage(count_planned(
+                group_same_shape(batch_source, k_cap))))
         else:
-            source_groups = group_same_shape(batch_source, k_cap)
-        for metas, host_batches in source_groups:
+            # multi-host: keep uploads at use time (strict same-order
+            # make_global_batch calls on every rank)
+            source_groups = ((m, hb, None) for m, hb in count_planned(
+                group_same_shape(batch_source, k_cap)))
+        for metas, host_batches, dev_batch in source_groups:
             data_time = time.time() - toc
             k = len(host_batches)
             keys = host_fold_in_keys(args.seed, range(iteration, iteration + k))
-            transport = getattr(args, 'device_transport', 'float32')
             if dcache is not None:
                 cache_dev = dcache.device[metas]  # metas IS the bucket id here
                 if k == 1:
@@ -930,17 +986,21 @@ def _main(args):
                                                       rows_k, keys_dev)
                     stacked_metrics = True
             elif k == 1:
-                batch = put_batch(transport_cast(host_batches[0], transport), mesh)
+                batch = dev_batch if dev_batch is not None else \
+                    put_batch(transport_cast(host_batches[0], transport), mesh)
                 key = jnp.asarray(keys[0])
                 if mesh is not None:
                     key = jax.device_put(np.asarray(key) if world > 1 else key, repl)
                 state, metrics_dev = train_step(state, batch, key)
                 stacked_metrics = False
             else:
-                stacked = {kk: np.stack([hb[kk] for hb in host_batches])
-                           for kk in host_batches[0]}
-                batch = put_batch(transport_cast(stacked, transport), mesh,
-                                  stacked=True)
+                if dev_batch is not None:
+                    batch = dev_batch
+                else:
+                    stacked = {kk: np.stack([hb[kk] for hb in host_batches])
+                               for kk in host_batches[0]}
+                    batch = put_batch(transport_cast(stacked, transport), mesh,
+                                      stacked=True)
                 keys_dev = jax.device_put(keys, repl) if mesh is not None \
                     else jnp.asarray(keys)
                 state, metrics_dev = multi_step(state, batch, keys_dev)
@@ -950,8 +1010,12 @@ def _main(args):
             sampler.batch_idx += k
             if any((iteration_start + j + 1) % args.log_iteration_interval == 0
                    for j in range(k)):
+                now = time.time()
+                sustained = (now - last_logged['t']) / (iteration - last_logged['it']) \
+                    if last_logged['t'] is not None else None
+                last_logged['t'], last_logged['it'] = now, iteration
                 pending_log.append((epoch, iteration_start, k, metrics_dev,
-                                    stacked_metrics, data_time, time.time()))
+                                    stacked_metrics, data_time, now, sustained))
             flush_logs(keep_last=True)
             toc = time.time()
             at_boundary = (args.val_iteration_interval
@@ -1146,13 +1210,18 @@ def build_parser():
                              'K-batch synchronous transfer HURTS (measured '
                              '881 vs 1171 audio-sec/s, train_feed_probe.py). '
                              'val/ckpt boundaries respected')
-    parser.add_argument('--device-transport', choices=['float32', 'int16'],
+    parser.add_argument('--device-transport',
+                        choices=['float32', 'int16', 'mulaw'],
                         default='int16',
                         help='audio rides the host->device link as int16 PCM '
                              '(/32767 on device, bit-exact for int16-sourced '
                              'corpora) — HALF the bytes; measured 1.9x '
                              'sustained train throughput through the '
-                             'tunneled v5e (scripts/train_feed_probe.py)')
+                             'tunneled v5e (scripts/train_feed_probe.py). '
+                             'mulaw: G.711-style uint8 companding, QUARTER '
+                             'the bytes (~38 dB SNR — what 8 kHz telephony '
+                             'audio already went through), for corpora too '
+                             'big for --device-cache on a slow link')
     parser.add_argument('--prng', choices=['rbg', 'threefry'], default='rbg',
                         help='dropout/augment mask generator: rbg uses the '
                              'TPU hardware RNG (58 ms/step faster than '

@@ -57,13 +57,24 @@ def margin(log_probs, axis=-1):
     return top2[..., 0] - top2[..., 1]
 
 
+MULAW_MU = 255.0
+
+
 def undo_int16_transport(x):
-    """Audio may ride the host->device link as int16 PCM (half the bytes —
-    measured 1.9x sustained train throughput through the tunneled v5e, see
-    scripts/train_feed_probe.py); the /32767 scale (audio/io.py SMAX) runs
-    on device. float inputs (features or f32 transport) pass through."""
+    """Audio may ride the host->device link compressed (the link is the
+    train bottleneck for corpora too big for --device-cache — see
+    scripts/train_feed_probe.py):
+      int16  — PCM, /32767 on device (audio/io.py SMAX); HALF the bytes,
+               bit-exact for int16-sourced corpora
+      uint8  — mu-law (mu=255, G.711-style, the codec 8 kHz telephony audio
+               was already shaped by); QUARTER the bytes, ~38 dB SNR
+    float inputs (features or f32 transport) pass through."""
     if x.dtype == jnp.int16:
         return x.astype(jnp.float32) / jnp.float32(32767.0)
+    if x.dtype == jnp.uint8:
+        y = (x.astype(jnp.float32) - 128.0) / 127.0   # [-1, 1] companded
+        return jnp.sign(y) * (jnp.exp(jnp.abs(y) * jnp.log1p(MULAW_MU))
+                              - 1.0) / MULAW_MU
     return x
 
 

@@ -358,3 +358,46 @@ class TestInt16Transport:
         b = dict(x=x)
         assert transport_cast(b, 'float32')['x'].dtype == np.float32
         assert transport_cast(dict(x=x.astype(np.int16)), 'int16')['x'].dtype == np.int16
+
+    def test_mulaw_transport_roundtrip_and_loss(self):
+        """mu-law uint8 transport (QUARTER the f32 bytes): companding
+        roundtrip within the G.711 quantization error, and the train-step
+        loss stays close to the float32-transport loss."""
+        from convasr_tpu.cli.train import transport_cast
+        from convasr_tpu.train.loop import undo_int16_transport
+        from convasr_tpu.frontend.logmel import LogFilterBankFrontend
+        from convasr_tpu.models.zoo import create_model
+
+        rng = np.random.RandomState(1)
+        x = (0.4 * rng.randn(4, 8000)).clip(-1, 1).astype(np.float32)
+        b = transport_cast(dict(x=x), 'mulaw')
+        assert b['x'].dtype == np.uint8
+        decoded = np.asarray(undo_int16_transport(jnp.asarray(b['x'])))
+        # mu-law max quantization step near |x|=1 is ~ln(256)/127 companded
+        assert np.abs(decoded - x).max() < 0.05
+        # SNR must clear ~30 dB for speech-scale signals
+        snr = 10 * np.log10((x ** 2).mean() / ((decoded - x) ** 2).mean())
+        assert snr > 30, snr
+
+        sr, B, T, L, C = 8000, 4, 8000, 6, 6
+        frontend = LogFilterBankFrontend(out_channels=8, sample_rate=sr,
+                                         window_size=0.02, window_stride=0.01,
+                                         dither=0.0)
+        model = create_model('JasperNetSmall', num_input_features=8,
+                             num_classes=(C,), frontend=frontend, base_width=4,
+                             dropout=0.0)
+        batch = dict(x=x, xlen=np.ones((B,), np.float32),
+                     y=rng.randint(0, C - 1, (B, 1, L)).astype(np.int64),
+                     ylen=np.full((B, 1), L, np.int64))
+        optimizer = make_optimizer_with_accum(make_optimizer('novograd', lambda s: 1e-2))
+        state = init_train_state(
+            model, optimizer, {k: jnp.asarray(v) for k, v in batch.items()},
+            jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(model, optimizer))
+        _, m32 = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                      jax.random.PRNGKey(1))
+        bm = transport_cast(batch, 'mulaw')
+        _, mm = step(state, {k: jnp.asarray(v) for k, v in bm.items()},
+                     jax.random.PRNGKey(1))
+        np.testing.assert_allclose(float(m32['loss']), float(mm['loss']),
+                                   rtol=0.05)

@@ -807,9 +807,9 @@ def _main(args):
     # being the train bottleneck (see data/device_cache.py for measurements)
     dcache = cached_step = cached_multi = None
     if getattr(args, 'device_cache', False):
-        if world > 1 or train_datasets is not None:
-            _print('--device-cache needs single-process + a single train '
-                   'dataset; falling back to streaming batches')
+        if train_datasets is not None:
+            _print('--device-cache does not support --train-data-mixing; '
+                   'falling back to streaming batches')
         else:
             from ..data.device_cache import (DeviceDatasetCache,
                                              make_cached_train_step,
@@ -951,8 +951,11 @@ def _main(args):
                 buf = nxt
 
         if dcache is not None:
+            # multi-host: every rank holds the full (replicated) cache and
+            # contributes its per-host slice of the global row-index vector
+            cache_iter = sampler.shard(rank) if world > 1 else iter(sampler)
             source_groups = ((m, hb, None) for m, hb in count_planned(
-                group_cache_batches(iter(sampler), k_cap, dcache)))
+                group_cache_batches(cache_iter, k_cap, dcache)))
         elif world == 1:
             source_groups = lookahead1(upload_stage(count_planned(
                 group_same_shape(batch_source, k_cap))))
@@ -967,19 +970,27 @@ def _main(args):
             keys = host_fold_in_keys(args.seed, range(iteration, iteration + k))
             if dcache is not None:
                 cache_dev = dcache.device[metas]  # metas IS the bucket id here
-                if k == 1:
+
+                def put_rows(local, spec):
+                    # multi-host: each rank supplies its per-host slice of
+                    # the global row-index vector (same pattern as the
+                    # streaming make_global_batch feed)
+                    if world > 1:
+                        from ..parallel.mesh import make_global_batch
+                        return make_global_batch(mesh, dict(r=local),
+                                                 spec=spec)['r']
                     if mesh is not None:
-                        rows = jax.device_put(host_batches[0], shard)
-                        key = jax.device_put(keys[0], repl)
-                    else:
-                        rows = jnp.asarray(host_batches[0])
-                        key = jnp.asarray(keys[0])
+                        return jax.device_put(local, NamedSharding(mesh, spec))
+                    return jnp.asarray(local)
+
+                if k == 1:
+                    rows = put_rows(host_batches[0], P('data'))
+                    key = jax.device_put(np.asarray(keys[0]), repl) \
+                        if mesh is not None else jnp.asarray(keys[0])
                     state, metrics_dev = cached_step(state, cache_dev, rows, key)
                     stacked_metrics = False
                 else:
-                    rows_k = np.stack(host_batches)
-                    rows_k = jax.device_put(rows_k, stacked_shard) \
-                        if mesh is not None else jnp.asarray(rows_k)
+                    rows_k = put_rows(np.stack(host_batches), P(None, 'data'))
                     keys_dev = jax.device_put(keys, repl) if mesh is not None \
                         else jnp.asarray(keys)
                     state, metrics_dev = cached_multi(state, cache_dev,
@@ -1232,9 +1243,10 @@ def build_parser():
                              '(16 GB fits ~270 h of 8 kHz audio) and ship '
                              'only (B,) row indices per step — removes the '
                              'host->device audio stream from the train loop '
-                             'entirely (single-process, single dataset; '
-                             'combines with --steps-per-dispatch for '
-                             'near-zero dispatch overhead)')
+                             'entirely (works multi-host: replicated cache '
+                             'per host, per-host row-index slices; combines '
+                             'with --steps-per-dispatch for near-zero '
+                             'dispatch overhead)')
     parser.add_argument('--num-workers', type=int, default=4,
                         help='audio-decode prefetch threads (0 = synchronous)')
     parser.add_argument('--timeout', type=float, default=0.0,

@@ -183,3 +183,41 @@ class TestMultiProcess:
         lines = [json.loads(l) for l in open(exp / 'run' / 'log.node0.json')]
         # resumed run continues counting from iteration 3
         assert [l['iteration'] for l in lines if l['iteration'] > 2] == [3, 4]
+
+
+class TestMultiProcessDeviceCache:
+    def test_two_process_device_cache_loss_equals_single_streaming(
+            self, corpus, tmp_path):
+        """--device-cache under TRUE multi-process SPMD: every rank holds the
+        replicated HBM cache and ships its per-host slice of the global row
+        indices — per-step losses must equal single-process STREAMING
+        training (same examples, same order, same int16 quantization)."""
+        tmp, train_json = corpus
+
+        single_dir = tmp_path / 'single'
+        out = subprocess.run(
+            base_argv(train_json, single_dir) + ['--cpu-devices-per-process', '4'],
+            capture_output=True, text=True, timeout=600, env=clean_env(), cwd=str(ROOT))
+        assert out.returncode == 0, out.stderr[-4000:]
+        single_losses = read_losses(single_dir / 'run' / 'log.json')
+
+        multi_dir = tmp_path / 'multi_cached'
+        port = free_port()
+        procs = []
+        for pid in range(2):
+            procs.append(subprocess.Popen(
+                base_argv(train_json, multi_dir) + [
+                    '--device-cache', '--steps-per-dispatch', '2',
+                    '--coordinator-address', f'localhost:{port}',
+                    '--num-processes', '2', '--process-id', str(pid),
+                    '--cpu-devices-per-process', '2'],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=clean_env(), cwd=str(ROOT)))
+        outs = [p.communicate(timeout=600) for p in procs]
+        for p, (o, e) in zip(procs, outs):
+            assert p.returncode == 0, e[-4000:]
+        for rank in range(2):
+            losses = read_losses(multi_dir / 'run' / f'log.node{rank}.json')
+            assert len(losses) == len(single_losses) == 3
+            np.testing.assert_allclose(losses, single_losses, rtol=1e-5,
+                                       atol=1e-6, err_msg=f'rank {rank}')

@@ -87,7 +87,12 @@ def enable_compilation_cache(cache_dir: str = None):
     seconds; cache them across processes (the TPU analogue of
     cudnn.benchmark warmup amortization, benchmark.py:140)."""
     import jax
-    cache_dir = cache_dir or os.path.expanduser('~/.cache/convasr_tpu/xla')
+    # JAX_COMPILATION_CACHE_DIR wins: multi-process tests point each rank at
+    # a FRESH cache so both ranks pay the same compile cost — a shared,
+    # churned cache can give one rank a hit and the other a recompile, and
+    # that >30 s skew blows Gloo's hardcoded first-collective rendezvous
+    cache_dir = os.environ.get('JAX_COMPILATION_CACHE_DIR') or cache_dir \
+        or os.path.expanduser('~/.cache/convasr_tpu/xla')
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update('jax_compilation_cache_dir', cache_dir)

@@ -74,6 +74,11 @@ def clean_env():
     for k in ('XLA_FLAGS', 'JAX_PLATFORMS', 'JAX_NUM_CPU_DEVICES'):
         env.pop(k, None)
     env['PYTHONPATH'] = str(ROOT)
+    # fresh per-process compile cache: a shared churned cache can give one
+    # rank a hit and the other a slow recompile, and that >30 s skew times
+    # out Gloo's first-collective rendezvous (flaked only in full-suite runs)
+    import tempfile
+    env['JAX_COMPILATION_CACHE_DIR'] = tempfile.mkdtemp(prefix='xlacache_mp_')
     return env
 
 

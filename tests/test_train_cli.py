@@ -216,3 +216,50 @@ class TestValDecoderAndLogits:
                          decoder='BeamSearchDecoder', beam_width=4,
                          decoder_topk=3)
         train_cli.main(args)  # oracle top-k path runs end to end
+
+
+class TestDeviceCacheMultiBucket:
+    def test_multi_bucket_cache_matches_streaming(self, monkeypatch, tmp_path):
+        """Mixed durations spanning SEVERAL buckets: the cache groups rows
+        per bucket (one compiled shape each), the sampler keeps batches
+        within one bucket, and the trajectory must still equal streaming."""
+        import numpy as np
+        from convasr_tpu.audio import write_audio
+        from convasr_tpu.cli import train as train_cli
+        from convasr_tpu.models import zoo
+        orig = zoo.create_model
+
+        def small_create(name, **kw):
+            kw.setdefault('base_width', 8)
+            return orig(name, **kw)
+        monkeypatch.setattr(zoo, 'create_model', small_create)
+        monkeypatch.setattr(train_cli, 'create_model', small_create)
+
+        sr = 8000
+        rng = np.random.RandomState(0)
+        entries = []
+        # 0.5 s -> bucket 1, 1.6 s -> bucket 2 (frame_count_bucket_fn 0.01/128)
+        for i in range(8):
+            dur = 0.5 if i % 2 == 0 else 1.6
+            path = str(tmp_path / f'u{i}.wav')
+            write_audio(path, (0.1 * rng.randn(1, int(sr * dur))).astype(np.float32), sr)
+            entries.append(dict(audio_path=path, ref=['привет', 'мир'][i % 2],
+                                begin=0.0, end=dur))
+        train_json = str(tmp_path / 'train.json')
+        with open(train_json, 'w') as f:
+            json.dump(entries, f, ensure_ascii=False)
+
+        losses = {}
+        for mode, cached in [('stream', False), ('cache', True)]:
+            args = make_args(tmp_path, train_json, train_json,
+                             experiments_dir=str(tmp_path / f'exp_{mode}'),
+                             iterations=4, val_iteration_interval=0,
+                             checkpoint_skip=True, dropout=0.0,
+                             device_cache=cached, steps_per_dispatch=2,
+                             num_workers=0)
+            train_cli.main(args)
+            log = os.path.join(str(tmp_path / f'exp_{mode}'), 'smoke', 'log.json')
+            losses[mode] = [json.loads(l)['loss'] for l in open(log)]
+        assert len(losses['cache']) == len(losses['stream']) == 4
+        np.testing.assert_allclose(losses['cache'], losses['stream'],
+                                   rtol=1e-5, atol=1e-6)

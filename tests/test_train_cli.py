@@ -263,3 +263,55 @@ class TestDeviceCacheMultiBucket:
         assert len(losses['cache']) == len(losses['stream']) == 4
         np.testing.assert_allclose(losses['cache'], losses['stream'],
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestDeviceCacheResume:
+    def test_resume_into_device_cache_continues_trajectory(
+            self, corpus, monkeypatch, tmp_path):
+        """checkpoint at iter 2 (streaming) -> resume with --device-cache:
+        iters 3-4 must match an uninterrupted streaming run (sampler
+        batch_idx accounting is feed-mode-independent)."""
+        from convasr_tpu.cli import train as train_cli
+        from convasr_tpu.models import zoo
+        orig = zoo.create_model
+
+        def small_create(name, **kw):
+            kw.setdefault('base_width', 8)
+            return orig(name, **kw)
+        monkeypatch.setattr(zoo, 'create_model', small_create)
+        monkeypatch.setattr(train_cli, 'create_model', small_create)
+
+        tmp, train_json, val_json = corpus
+
+        # uninterrupted streaming baseline, 4 iters
+        args = make_args(tmp, train_json, val_json,
+                         experiments_dir=str(tmp_path / 'base'),
+                         iterations=4, val_iteration_interval=0,
+                         checkpoint_skip=True, dropout=0.0, num_workers=0)
+        train_cli.main(args)
+        base = [json.loads(l)['loss']
+                for l in open(tmp_path / 'base' / 'smoke' / 'log.json')]
+
+        # 2 iters streaming with a checkpoint
+        args = make_args(tmp, train_json, val_json,
+                         experiments_dir=str(tmp_path / 'part'),
+                         iterations=2, val_iteration_interval=2,
+                         dropout=0.0, num_workers=0)
+        args.checkpoint_skip = False
+        train_cli.main(args)
+        ckpts = sorted((tmp_path / 'part' / 'smoke').glob('checkpoint_epoch*_iter*'))
+        assert ckpts
+
+        # resume with --device-cache for iters 3-4
+        args = make_args(tmp, train_json, val_json,
+                         experiments_dir=str(tmp_path / 'part'),
+                         iterations=4, val_iteration_interval=0,
+                         checkpoint_skip=True, dropout=0.0, num_workers=0,
+                         device_cache=True)
+        args.checkpoint = str(ckpts[-1])
+        train_cli.main(args)
+        resumed = [json.loads(l)
+                   for l in open(tmp_path / 'part' / 'smoke' / 'log.json')]
+        tail = [l['loss'] for l in resumed if l['iteration'] > 2]
+        assert [l['iteration'] for l in resumed if l['iteration'] > 2] == [3, 4]
+        np.testing.assert_allclose(tail, base[2:4], rtol=1e-5, atol=1e-6)

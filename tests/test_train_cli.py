@@ -315,3 +315,34 @@ class TestDeviceCacheResume:
         tail = [l['loss'] for l in resumed if l['iteration'] > 2]
         assert [l['iteration'] for l in resumed if l['iteration'] > 2] == [3, 4]
         np.testing.assert_allclose(tail, base[2:4], rtol=1e-5, atol=1e-6)
+
+
+class TestDeviceCacheSpecAugment:
+    def test_spec_augment_with_device_cache(self, corpus, monkeypatch, tmp_path):
+        """--spec-augment + --device-cache: the on-device masks draw from the
+        per-step keys regardless of feed mode; losses stay finite and differ
+        from the unaugmented run (the augmentation is actually live)."""
+        from convasr_tpu.cli import train as train_cli
+        from convasr_tpu.models import zoo
+        orig = zoo.create_model
+
+        def small_create(name, **kw):
+            kw.setdefault('base_width', 8)
+            return orig(name, **kw)
+        monkeypatch.setattr(zoo, 'create_model', small_create)
+        monkeypatch.setattr(train_cli, 'create_model', small_create)
+
+        tmp, train_json, val_json = corpus
+        losses = {}
+        for mode, aug in [('plain', False), ('aug', True)]:
+            args = make_args(tmp, train_json, val_json,
+                             experiments_dir=str(tmp_path / mode),
+                             iterations=2, val_iteration_interval=0,
+                             checkpoint_skip=True, dropout=0.0, num_workers=0,
+                             device_cache=True)
+            args.spec_augment = aug
+            train_cli.main(args)
+            losses[mode] = [json.loads(l)['loss']
+                            for l in open(tmp_path / mode / 'smoke' / 'log.json')]
+        assert all(np.isfinite(losses['aug'])), losses['aug']
+        assert losses['aug'] != losses['plain'], 'spec-augment had no effect'

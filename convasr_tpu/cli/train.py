@@ -537,6 +537,7 @@ def _main(args):
         jax.config.update('jax_platforms', 'cpu')
         jax.config.update('jax_num_cpu_devices', args.cpu_devices_per_process)
     enable_compilation_cache()
+    ckpt_args = {}
     if args.checkpoint and not args.finetune:
         # model hyper-params come FROM the checkpoint on resume and override
         # the CLI (spec: train.py:392-394); --finetune keeps the CLI values.
@@ -676,6 +677,23 @@ def _main(args):
             state = state.replace(opt_state=payload['opt_state'])
         epoch_start = meta.get('epoch', 0) if isinstance(meta, dict) else 0
         sampler_state = meta.get('sampler') if isinstance(meta, dict) else None
+        if getattr(args, 'prng', 'rbg') == 'rbg':
+            # rbg streams are NOT stable across different compiled programs:
+            # a resume (new process -> possibly different program) or a changed
+            # --steps-per-dispatch silently yields a different dropout-mask
+            # stream than the uninterrupted run. The loss trajectory stays
+            # statistically equivalent but is not bit-equal; use
+            # --prng threefry (or dropout 0) for bit-exact resume.
+            ckpt_spd = ckpt_args.get('steps_per_dispatch')
+            changed = (ckpt_spd is not None
+                       and ckpt_spd != getattr(args, 'steps_per_dispatch', 1))
+            logging.getLogger('convasr_tpu.train').warning(
+                'resuming with --prng rbg%s: the dropout/augment mask stream '
+                'will differ from the uninterrupted run (rbg is program-'
+                'dependent). Trajectories are statistically equivalent, not '
+                'bit-equal. Use --prng threefry for bit-exact resume.',
+                (f' and --steps-per-dispatch {args.steps_per_dispatch} != '
+                 f'checkpoint\'s {ckpt_spd}') if changed else '')
 
     if getattr(args, 'onnx', None):
         # export-then-return path (spec: train.py:449-511 --onnx); the

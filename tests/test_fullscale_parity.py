@@ -112,3 +112,41 @@ class TestFullScaleJasperNetBig:
         # exact same weights as the flax init -> bitwise-equal logits
         np.testing.assert_array_equal(converted_logits,
                                       np.asarray(out['logits'][0]).transpose(0, 2, 1))
+
+    def test_full_width_train_step(self):
+        """ONE real JasperNetBig (full width, ~176M params) train step on CPU
+        with tiny T (VERDICT r2 #8): catches full-width-only breakage (remat,
+        param-tree scale, optimizer-moment trees, dropout at width) that the
+        tiny-width training tests cannot see."""
+        import optax
+        from convasr_tpu.train.loop import (TrainState, make_optimizer_with_accum,
+                                            make_train_step)
+        from convasr_tpu.train.optim import make_optimizer
+
+        model = create_model('JasperNetBig', num_input_features=FEATURES,
+                             num_classes=(CLASSES,), dtype=jnp.float32,
+                             dropout=0.2, remat=True)
+        rng = np.random.RandomState(0)
+        batch = dict(x=jnp.asarray(rng.randn(2, 64, FEATURES).astype(np.float32)),
+                     xlen=jnp.asarray([1.0, 0.75], np.float32),
+                     y=jnp.asarray(rng.randint(0, CLASSES - 1, (2, 1, 6)), jnp.int32),
+                     ylen=jnp.asarray([[6], [4]], jnp.int32))
+        variables = model.init(jax.random.PRNGKey(0), batch['x'], xlen=batch['xlen'])
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree.leaves(variables['params']))
+        assert n_params > 100e6, f'not full width: {n_params/1e6:.1f}M params'
+
+        optimizer = make_optimizer_with_accum(
+            make_optimizer('NovoGrad', optax.constant_schedule(1e-2),
+                           momentum=0.5, weight_decay=1e-3, betas=(0.95, 0.5)),
+            max_grad_norm=100.0)
+        state = TrainState(step=jnp.zeros([], jnp.int32),
+                           params=variables['params'],
+                           batch_stats=variables.get('batch_stats', {}),
+                           opt_state=optimizer.init(variables['params']))
+        step = jax.jit(make_train_step(model, optimizer))
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics['loss'])), metrics
+        assert float(metrics['finite']) == 1.0
+        assert np.isfinite(float(metrics['grad_norm'])) and float(metrics['grad_norm']) > 0
+        assert int(state.step) == 1

@@ -94,6 +94,17 @@ def main(args):
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
         print(f'data-parallel over {mesh.shape["data"]} devices')
 
+    qtree = None
+    if args.quantize == 'int8':
+        # int8 PTQ (models/quantized.py): BN-folded weights per-channel int8,
+        # activations per-tensor int8 calibrated on the benchmark batch; convs
+        # run int8 x int8 -> int32 on the MXU's 394-TOPS path (2x bf16 peak)
+        from ..models.quantized import quantize_for_inference, quantized_apply
+        calib = dict(x=np.asarray(x), xlen=np.asarray(xlen))
+        tic = time.time()
+        qtree = jax.device_put(quantize_for_inference(model, variables, [calib]))
+        print(f'int8 PTQ calibration done in {time.time() - tic:.1f} sec')
+
     if args.stablehlo:
         # benchmark a serialized StableHLO artifact (the reference's
         # onnxruntime io_binding benchmark equivalent, benchmark.py:67-86)
@@ -122,16 +133,34 @@ def main(args):
         # feeding its full output back into the next input (no DCE), so the
         # ~26-30 ms tunnel dispatch+fetch constant is paid once, not per
         # iteration (methodology: scripts/perf_probe.py / CLAUDE.md)
-        @jax.jit
-        def chained(v, x, xlen):
-            def body(x, _):
-                lp = model.apply(v, x, xlen=xlen)['log_probs'][0]
-                return x * (1.0 + 1e-3 * jnp.mean(lp).astype(jnp.float32)), ()
-            x, _ = jax.lax.scan(body, x, None, length=args.iterations)
-            return x[0, :2]
+        if qtree is not None:
+            @jax.jit
+            def chained(qt, x, xlen):
+                def body(x, _):
+                    lp = quantized_apply(model, qt, x, xlen=xlen)['log_probs'][0]
+                    return x * (1.0 + 1e-3 * jnp.mean(lp).astype(jnp.float32)), ()
+                x, _ = jax.lax.scan(body, x, None, length=args.iterations)
+                return x[0, :2]
+
+            def run():
+                return chained(qtree, x, xlen)
+        else:
+            @jax.jit
+            def chained(v, x, xlen):
+                def body(x, _):
+                    lp = model.apply(v, x, xlen=xlen)['log_probs'][0]
+                    return x * (1.0 + 1e-3 * jnp.mean(lp).astype(jnp.float32)), ()
+                x, _ = jax.lax.scan(body, x, None, length=args.iterations)
+                return x[0, :2]
+
+            def run():
+                return chained(variables, x, xlen)
+    elif qtree is not None:
+        fwd_q = jax.jit(lambda qt, x, xlen: quantized_apply(
+            model, qt, x, xlen=xlen)['log_probs'][0])
 
         def run():
-            return chained(variables, x, xlen)
+            return fwd_q(qtree, x, xlen)
     else:
         fwd = jax.jit(lambda v, x, xlen: model.apply(v, x, xlen=xlen)['log_probs'][0])
 
@@ -167,7 +196,7 @@ def main(args):
     times = np.asarray(times)
     total_audio = args.B * example_seconds * args.iterations
     rtf = total_audio / times.sum()
-    kind = 'fwd+bwd' if args.backward else 'fwd'
+    kind = 'fwd+bwd' if args.backward else ('fwd-int8' if args.quantize else 'fwd')
     print(f'{kind}: mean {times.mean() * 1e3:.2f} ms | p50 '
           f'{np.percentile(times, 50) * 1e3:.2f} | min {times.min() * 1e3:.2f}')
     print(f'RTF: {rtf:.1f} audio-sec/sec')
@@ -218,6 +247,9 @@ def build_parser():
                              'on the MXU')
     parser.add_argument('--lang', default='ru')
     parser.add_argument('--backward', action='store_true')
+    parser.add_argument('--quantize', choices=['int8'], default=None,
+                        help='int8 PTQ inference (models/quantized.py): MXU '
+                             'int8 path, calibrated on the benchmark batch')
     parser.add_argument('--stablehlo', '--onnx', dest='stablehlo',
                         help='benchmark a serialized StableHLO export artifact '
                              '(the reference benchmarks ONNX here)')

@@ -106,8 +106,29 @@ def setup(args):
 
     variables_dev = jax.device_put(variables)
 
+    # int8 PTQ (--quantize int8): BN-folded per-channel int8 weights +
+    # calibrated per-tensor activation scales; convs ride the MXU int8 path
+    # (394 TOPS = 2x bf16 peak, scripts/int8_conv_probe.py). qstate is filled
+    # by forward.calibrate(batches) once the first data batches exist.
+    qstate = {}
+
+    @jax.jit
+    def _forward_q(qtree, x, xlen):
+        from ..models.quantized import quantized_apply
+        out = quantized_apply(model, qtree, x, xlen=xlen)
+        return out['log_probs'][0], out['logits'][0], out['olen'][0]
+
     def forward(x, xlen):
+        if qstate:
+            return _forward_q(qstate['qtree'], x, xlen)
         return _forward(variables_dev, x, xlen)
+
+    def calibrate(batches, percentile=100.0):
+        from ..models.quantized import quantize_for_inference
+        qstate['qtree'] = jax.device_put(
+            quantize_for_inference(model, variables, batches, percentile))
+
+    forward.calibrate = calibrate
 
     # low-latency serving path: greedy argmax fused ON DEVICE, idx+confidence
     # packed into ONE buffer so the (tunneled) host fetch is a single small
@@ -119,7 +140,19 @@ def setup(args):
         return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
                           jnp.max(lp, -1).astype(jnp.float32)], -1)  # (B, T', 2)
 
-    forward.fused = lambda x, xlen: _forward_fused(variables_dev, x, xlen)
+    @jax.jit
+    def _forward_fused_q(qtree, x, xlen):
+        from ..models.quantized import quantized_apply
+        lp = quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][0]
+        return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
+                          jnp.max(lp, -1).astype(jnp.float32)], -1)
+
+    def fused(x, xlen):
+        if qstate:
+            return _forward_fused_q(qstate['qtree'], x, xlen)
+        return _forward_fused(variables_dev, x, xlen)
+
+    forward.fused = fused
 
     # int16 ingest: LINEAR16 requests ride the wire AND the (tunneled) host->
     # device link as int16; the /32767 scale (audio/io.py SMAX convention)
@@ -133,7 +166,20 @@ def setup(args):
         return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
                           jnp.max(lp, -1).astype(jnp.float32)], -1)
 
-    forward.fused_i16 = lambda x, xlen: _forward_fused_i16(variables_dev, x, xlen)
+    @jax.jit
+    def _forward_fused_i16_q(qtree, x_i16, xlen):
+        from ..models.quantized import quantized_apply
+        x = x_i16.astype(jnp.float32) / jnp.float32(32767.0)
+        lp = quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][0]
+        return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
+                          jnp.max(lp, -1).astype(jnp.float32)], -1)
+
+    def fused_i16(x, xlen):
+        if qstate:
+            return _forward_fused_i16_q(qstate['qtree'], x, xlen)
+        return _forward_fused_i16(variables_dev, x, xlen)
+
+    forward.fused_i16 = fused_i16
 
     generator = GreedyCTCGenerator(blank_amount_to_space=args.replace_blank_series)
     # NOTE: the reference parses the beam flags but transcribe.py never
@@ -207,6 +253,20 @@ def main(args, ext_json=('.json', '.json.gz')):
 
     csv_sep = dict(tab='\t', comma=',')[args.csv_sep]
     csv_lines = []
+
+    if args.quantize == 'int8' and len(dataset):
+        # PTQ calibration on the first batches of the actual input corpus
+        # (folded f32 stats on the host CPU backend; see models/quantized.py)
+        calib = []
+        for k in range(min(args.calibration_batches, len(dataset))):
+            _, _, cx, cxlen, _, _ = dataset.collate_fn(dataset[k])
+            if cx.size:
+                calib.append(dict(x=np.asarray(cx[:, 0, :]),
+                                  xlen=np.asarray(cxlen)))
+        tic = time.time()
+        forward.calibrate(calib, percentile=args.calibration_percentile)
+        print(f'int8 PTQ: calibrated on {len(calib)} batch(es) '
+              f'in {time.time() - tic:.1f} sec')
 
     from ..data.loader import prefetch_map
     items = prefetch_map(dataset.__getitem__, range(len(dataset)),
@@ -444,6 +504,15 @@ def build_parser():
     parser.add_argument('--output-csv', action='store_true')
     parser.add_argument('--csv-sep', default='tab', choices=['tab', 'comma'])
     parser.add_argument('--bf16', type=str2bool, nargs='?', const=True, default=True)
+    parser.add_argument('--quantize', choices=['int8'], default=None,
+                        help='int8 PTQ inference: BN-folded per-channel int8 '
+                             'weights + calibrated activation scales; convs '
+                             'run on the MXU int8 path (2x bf16 peak)')
+    parser.add_argument('--calibration-batches', type=int, default=1,
+                        help='number of leading input batches used for '
+                             'activation-scale calibration (--quantize)')
+    parser.add_argument('--calibration-percentile', type=float, default=100.0,
+                        help='|x| percentile for activation scales (100 = absmax)')
     parser.add_argument('--num-workers', type=int, default=0)
     parser.add_argument('--mono', action='store_true')
     parser.add_argument('--audio-backend', default=None, choices=[None, 'sox', 'ffmpeg'])

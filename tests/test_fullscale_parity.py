@@ -113,6 +113,32 @@ class TestFullScaleJasperNetBig:
         np.testing.assert_array_equal(converted_logits,
                                       np.asarray(out['logits'][0]).transpose(0, 2, 1))
 
+    def test_full_width_int8_tolerance(self):
+        """Full-width JasperNetBig int8 PTQ vs the f32 forward (VERDICT r2 #1
+        'WER unchanged ... full-width logit-tolerance check'): the folded f32
+        graph must match the flax model, and the int8 graph must track it
+        (cosine + frame-argmax agreement) at real 176M-param width."""
+        from convasr_tpu.models import quantized as q
+        model = create_model('JasperNetBig', num_input_features=FEATURES,
+                             num_classes=(CLASSES,), dtype=jnp.float32,
+                             normalize_features=True)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 64, FEATURES).astype(np.float32))
+        xlen = jnp.asarray([1.0, 0.75], np.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, xlen=xlen)
+        variables = randomize_batch_stats(variables, jax.random.PRNGKey(1))
+
+        want = np.asarray(model.apply(variables, x, xlen=xlen)['log_probs'][0])
+        folded = np.asarray(q.folded_apply(model, variables, x, xlen=xlen)['log_probs'][0])
+        np.testing.assert_allclose(folded, want, rtol=1e-2, atol=1e-3)
+
+        qtree = q.quantize(model, variables, [dict(x=x, xlen=xlen)])
+        got = np.asarray(q.quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][0])
+        cos = np.sum(want * got) / (np.linalg.norm(want) * np.linalg.norm(got) + 1e-9)
+        assert cos > 0.99, cos
+        agree = np.mean(want.argmax(-1) == got.argmax(-1))
+        assert agree > 0.95, agree
+
     def test_full_width_train_step(self):
         """ONE real JasperNetBig (full width, ~176M params) train step on CPU
         with tiny T (VERDICT r2 #8): catches full-width-only breakage (remat,

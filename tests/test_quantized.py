@@ -1,0 +1,98 @@
+"""int8 PTQ path (models/quantized.py): BN-folded f32 graph must match the
+flax model exactly; the int8 graph must track it closely (cosine + argmax).
+
+The speed claim behind this path is measured on the chip
+(scripts/int8_conv_probe.py: XLA int8 conv 380.5 TOPS vs bf16 183.9
+TFLOPs/s); these tests pin the NUMERICS on the CPU mesh.
+"""
+import sys
+import pathlib
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from test_model_parity import randomize_batch_stats
+
+from convasr_tpu.models import quantized as q
+from convasr_tpu.models.zoo import create_model
+
+FEATURES, CLASSES = 16, 10
+
+
+def build(name, **kw):
+    kw.setdefault('num_classes', (CLASSES,))
+    model = create_model(name, num_input_features=FEATURES,
+                         dtype=jnp.float32, base_width=8,
+                         normalize_features=True, **kw)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 96, FEATURES).astype(np.float32))
+    xlen = jnp.asarray([1.0, 0.625], np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, xlen=xlen)
+    variables = randomize_batch_stats(variables, jax.random.PRNGKey(1))
+    return model, variables, x, xlen
+
+
+@pytest.mark.parametrize('name,kw', [
+    ('JasperNetBig', {}),                       # flagship: dense, subblocks=2
+    ('JasperNet', {}),                          # temporal_mask=True path
+    ('JasperNetSeparable', dict(groups=8)),     # depthwise+pointwise path
+    ('JasperNetResidualBig', {}),               # plain residual topology
+])
+def test_folded_matches_model(name, kw):
+    model, variables, x, xlen = build(name, **kw)
+    want = model.apply(variables, x, xlen=xlen)
+    got = q.folded_apply(model, variables, x, xlen=xlen)
+    for w, g in zip(want['log_probs'], got['log_probs']):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-3, atol=1e-4)
+    for w, g in zip(want['olen'], got['olen']):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_folded_matches_model_bpe_head():
+    model, variables, x, xlen = build('JasperNetBig', decoder_type='bpe',
+                                      num_classes=(CLASSES, 2 * CLASSES))
+    want = model.apply(variables, x, xlen=xlen)
+    got = q.folded_apply(model, variables, x, xlen=xlen)
+    assert len(got['log_probs']) == 2
+    for w, g in zip(want['log_probs'], got['log_probs']):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-3, atol=1e-4)
+
+
+def test_int8_tracks_float():
+    model, variables, x, xlen = build('JasperNetBig')
+    qtree = q.quantize(model, variables, [dict(x=x, xlen=xlen)])
+    want = model.apply(variables, x, xlen=xlen)['log_probs'][0]
+    got = q.quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][0]
+    w, g = np.asarray(want), np.asarray(got)
+    cos = np.sum(w * g) / (np.linalg.norm(w) * np.linalg.norm(g) + 1e-9)
+    assert cos > 0.99, cos
+    agree = np.mean(w.argmax(-1) == g.argmax(-1))
+    assert agree > 0.95, agree
+    # weights really are int8 and convs run int8 x int8 -> int32
+    assert qtree['layers']['block1.conv0']['wq'].dtype == np.int8
+
+
+def test_int8_jits_and_scale_invariance():
+    """quantized_apply must jit with qtree as an argument (not closed over)
+    and produce identical results across jit/eager."""
+    model, variables, x, xlen = build('JasperNetBig')
+    qtree = q.quantize(model, variables, [dict(x=x, xlen=xlen)], percentile=99.9)
+    eager = q.quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][0]
+    jitted = jax.jit(lambda qt, x, xlen: q.quantized_apply(model, qt, x, xlen=xlen)[
+        'log_probs'][0])(qtree, x, xlen)
+    np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_calibration_batches_widen_scales():
+    """A louder calibration batch must produce >= activation scales."""
+    model, variables, x, xlen = build('JasperNetBig')
+    s1 = q.quantize(model, variables, [dict(x=x, xlen=xlen)])['act_scales']
+    s2 = q.quantize(model, variables,
+                    [dict(x=x, xlen=xlen), dict(x=5.0 * x, xlen=xlen)])['act_scales']
+    assert all(s2[k] >= s1[k] - 1e-12 for k in s1)
+    assert any(s2[k] > s1[k] for k in s1)

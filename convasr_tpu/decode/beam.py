@@ -83,10 +83,14 @@ def char_lm_table(lm: 'ArpaLM', vocab: typing.Sequence[str]) -> np.ndarray:
     one LM token — train such LMs with `lmplz` on space-separated characters.
     """
     V = len(vocab)
+    # char LMs use a printable stand-in for ' ' (ARPA tokens are whitespace-
+    # split, so a literal space can never be an LM token) — text/ngram_lm.py
+    from ..text.ngram_lm import SPACE_TOKEN
+    sym = [SPACE_TOKEN if str(w) == ' ' else str(w) for w in vocab]
     table = np.zeros((V + 1, V), np.float32)
-    for c2, w2 in enumerate(vocab):
+    for c2, w2 in enumerate(sym):
         table[V, c2] = lm.score([w2])
-        for c1, w1 in enumerate(vocab):
+        for c1, w1 in enumerate(sym):
             table[c1, c2] = lm.score([w1, w2])
     return table
 

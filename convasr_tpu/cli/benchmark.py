@@ -100,7 +100,9 @@ def main(args):
         # activations per-tensor int8 calibrated on the benchmark batch; convs
         # run int8 x int8 -> int32 on the MXU's 394-TOPS path (2x bf16 peak)
         from ..models.quantized import quantize_for_inference, quantized_apply
-        calib = dict(x=np.asarray(x), xlen=np.asarray(xlen))
+        # a 16-row slice is plenty for absmax stats (calibration runs eagerly
+        # on the host CPU backend — full B would take minutes for nothing)
+        calib = dict(x=np.asarray(x)[:16], xlen=np.asarray(xlen)[:16])
         tic = time.time()
         qtree = jax.device_put(quantize_for_inference(model, variables, [calib]))
         print(f'int8 PTQ calibration done in {time.time() - tic:.1f} sec')

@@ -840,20 +840,40 @@ def _main(args):
             except MemoryError as e:
                 _print(f'--device-cache disabled: {e}')
             if dcache is not None:
-                dcache.upload(sharding=repl if mesh is not None else None)
                 base_step = make_train_step(model, optimizer, bpe_only=args.bpe_only)
-                cs = make_cached_train_step(base_step)
-                cm = make_cached_multi_step(base_step)
-                if mesh is not None:
+                layout = getattr(args, 'device_cache_layout', 'auto')
+                use_sharded = mesh is not None and (
+                    layout == 'sharded' or (layout == 'auto' and world > 1))
+                if use_sharded:
+                    # row-sharded corpus: HBM capacity scales linearly with
+                    # the pod instead of replicating the cache per chip
+                    # (device_cache.upload_sharded / make_sharded_gather)
+                    from ..data.device_cache import (
+                        make_sharded_cached_step, make_sharded_cached_multi_step)
+                    dcache.upload_sharded(mesh)
+                    cache_in = NamedSharding(mesh, P('data'))
                     cached_step = jax.jit(
-                        cs, in_shardings=(repl, repl, shard, repl),
+                        make_sharded_cached_step(base_step, mesh),
+                        in_shardings=(repl, cache_in, shard, repl),
                         out_shardings=(repl, repl), donate_argnums=(0,))
                     cached_multi = jax.jit(
-                        cm, in_shardings=(repl, repl, stacked_shard, repl),
+                        make_sharded_cached_multi_step(base_step, mesh),
+                        in_shardings=(repl, cache_in, stacked_shard, repl),
                         out_shardings=(repl, repl), donate_argnums=(0,))
                 else:
-                    cached_step = jax.jit(cs, donate_argnums=(0,))
-                    cached_multi = jax.jit(cm, donate_argnums=(0,))
+                    dcache.upload(sharding=repl if mesh is not None else None)
+                    cs = make_cached_train_step(base_step)
+                    cm = make_cached_multi_step(base_step)
+                    if mesh is not None:
+                        cached_step = jax.jit(
+                            cs, in_shardings=(repl, repl, shard, repl),
+                            out_shardings=(repl, repl), donate_argnums=(0,))
+                        cached_multi = jax.jit(
+                            cm, in_shardings=(repl, repl, stacked_shard, repl),
+                            out_shardings=(repl, repl), donate_argnums=(0,))
+                    else:
+                        cached_step = jax.jit(cs, donate_argnums=(0,))
+                        cached_multi = jax.jit(cm, donate_argnums=(0,))
 
     tensorboard = TensorboardSink(
         os.path.join(args.experiment_dir, 'tensorboard')
@@ -1265,6 +1285,15 @@ def build_parser():
                              'per host, per-host row-index slices; combines '
                              'with --steps-per-dispatch for near-zero '
                              'dispatch overhead)')
+    parser.add_argument('--device-cache-layout',
+                        choices=['auto', 'replicated', 'sharded'],
+                        default='auto',
+                        help='sharded: corpus rows sharded over the data '
+                             'axis (capacity scales linearly with the pod; '
+                             'O(B*T) ICI psum per step assembles batches); '
+                             'replicated: full copy per device (no per-step '
+                             'collective). auto = sharded multi-host, '
+                             'replicated single-host')
     parser.add_argument('--num-workers', type=int, default=4,
                         help='audio-decode prefetch threads (0 = synchronous)')
     parser.add_argument('--timeout', type=float, default=0.0,

@@ -109,6 +109,38 @@ class DeviceDatasetCache:
         self.host = None  # free host copy
         return self
 
+    def upload_sharded(self, mesh, axis: str = 'data'):
+        """Row-sharded upload over the mesh's data axis: device d holds rows
+        [d*N/D, (d+1)*N/D) of each bucket, so cached-corpus CAPACITY scales
+        linearly with pod size (VERDICT r2 #4 — the replicated mode costs
+        HBM x N_devices for the same corpus; this mode costs it once total:
+        a v5e-8 pod holds ~270 h replicated but ~2,100 h sharded).
+
+        Buckets are zero-padded to a multiple of the axis size (padding rows
+        are never referenced — `pos` only maps real utterances). Works
+        single- and multi-process: `make_array_from_callback` pulls each
+        device's row block from this host's full copy of the bucket (every
+        process builds the full dataset or reads the rank-0 cache, so any
+        requested index is servable locally)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        D = mesh.shape[axis]
+        for b, arrs in self.host.items():
+            dev = {}
+            n = arrs['x'].shape[0]
+            n_pad = int(math.ceil(n / D)) * D
+            for k, v in arrs.items():
+                if n_pad != n:
+                    v = np.concatenate(
+                        [v, np.zeros((n_pad - n,) + v.shape[1:], v.dtype)])
+                spec = P(axis, *([None] * (v.ndim - 1)))
+                sharding = NamedSharding(mesh, spec)
+                dev[k] = jax.make_array_from_callback(
+                    v.shape, sharding, lambda idx, v=v: v[idx])
+            self.device[b] = dev
+        self.host = None
+        return self
+
     def locate(self, batch_indices):
         """Dataset indices -> (bucket_id, row indices). The bucketing sampler
         guarantees a batch stays within one bucket."""
@@ -129,6 +161,78 @@ def make_cached_train_step(train_step):
     def cached_step(state, cache, rows, key):
         return train_step(state, gather_batch(cache, rows), key)
     return cached_step
+
+
+def make_sharded_gather(mesh, axis: str = 'data'):
+    """Distributed row gather from a cache uploaded with `upload_sharded`.
+
+    Each device owns a contiguous row block of the bucket. The global row
+    vector arrives sharded P(data) (same feed as streaming batches — each
+    host ships only its slice); inside the shard each device all-gathers the
+    (tiny) row vector, gathers the rows it owns (one-hot masked), a psum
+    over the data axis assembles the full batch (exact — only one shard
+    contributes to any row), and each device keeps its own B/D slice,
+    yielding a batch sharded P(data) exactly as the streaming feed produces.
+    Communication is O(B*T) on ICI per step — independent of corpus size.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    D = mesh.shape[axis]
+
+    def local(cache_blk, rows_local):
+        d = jax.lax.axis_index(axis)
+        rows = jax.lax.all_gather(rows_local, axis, tiled=True)  # (B,) global
+        nloc = cache_blk['x'].shape[0]
+        li = rows - d * nloc
+        hit = (li >= 0) & (li < nloc)
+        lic = jnp.clip(li, 0, nloc - 1)
+        B = rows.shape[0]
+        bl = B // D
+        out = {}
+        for k, v in cache_blk.items():
+            g = v[lic]
+            orig_dtype = g.dtype
+            if g.dtype == jnp.int16:   # psum lacks an int16 path; exact via i32
+                g = g.astype(jnp.int32)
+            g = jnp.where(hit.reshape((B,) + (1,) * (g.ndim - 1)), g, 0)
+            g = jax.lax.psum(g, axis)
+            g = jax.lax.dynamic_slice_in_dim(g, d * bl, bl, 0)
+            out[k] = g.astype(orig_dtype)
+        return out
+
+    def gather(cache, rows):
+        cache_specs = {k: P(axis, *([None] * (v.ndim - 1)))
+                       for k, v in cache.items()}
+        out_specs = {k: P(axis, *([None] * (v.ndim - 1)))
+                     for k, v in cache.items()}
+        return shard_map(local, mesh=mesh, in_specs=(cache_specs, P(axis)),
+                         out_specs=out_specs, check_vma=False)(cache, rows)
+
+    return gather
+
+
+def make_sharded_cached_step(train_step, mesh, axis: str = 'data'):
+    """Cached step over a ROW-SHARDED corpus (see make_sharded_gather)."""
+    gather = make_sharded_gather(mesh, axis)
+
+    def cached_step(state, cache, rows, key):
+        return train_step(state, gather(cache, rows), key)
+    return cached_step
+
+
+def make_sharded_cached_multi_step(train_step, mesh, axis: str = 'data'):
+    import jax
+    gather = make_sharded_gather(mesh, axis)
+
+    def cached_multi(state, cache, rows_k, keys):
+        def body(state, rk):
+            rows, key = rk
+            return train_step(state, gather(cache, rows), key)
+        return jax.lax.scan(body, state, (rows_k, keys))
+    return cached_multi
 
 
 def make_cached_multi_step(train_step):

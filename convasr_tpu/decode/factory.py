@@ -24,8 +24,8 @@ def build_decoder(args, tokenizer, vocab=None):
         from ..ops.beam_device import beam_search_device
         device_lm_table = None
         if getattr(args, 'lm', None):
-            from .beam import ArpaLM, char_lm_table
-            device_lm_table = char_lm_table(ArpaLM(args.lm),
+            from .beam import char_lm_table, load_lm
+            device_lm_table = char_lm_table(load_lm(args.lm),
                                             vocab or tokenizer.vocab)
 
         class _DeviceBeam:

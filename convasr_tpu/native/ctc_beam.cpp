@@ -21,6 +21,11 @@
 #include <unordered_map>
 #include <vector>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 namespace {
 
 constexpr float kNegInf = -1e30f;
@@ -35,16 +40,59 @@ inline float logsumexp(float a, float b) {
 
 // ---------------- ARPA n-gram LM ----------------
 
+// bit-identical to text/binlm.py ngram_hash: FNV-1a over (id + golden) with
+// a murmur fmix64 avalanche
+inline uint64_t fmix64(uint64_t h) {
+  h ^= h >> 33;
+  h *= 0xff51afd7ed558ccdULL;
+  h ^= h >> 33;
+  h *= 0xc4ceb9fe1a85ec53ULL;
+  h ^= h >> 33;
+  return h;
+}
+
+inline uint64_t ngram_fingerprint(const std::vector<int>& ids, size_t begin,
+                                  size_t end) {
+  uint64_t h = 0xcbf29ce484222325ULL;
+  for (size_t i = begin; i < end; ++i)
+    h = (h ^ (static_cast<uint64_t>(static_cast<uint32_t>(ids[i])) +
+              0x9e3779b97f4a7c15ULL)) *
+        0x100000001b3ULL;
+  return fmix64(h);
+}
+
 struct NgramLM {
-  // key: joined word-ids; value: (logp, backoff) in natural log
+  // TEXT storage — key: joined word-ids; value: (logp, backoff), natural log
   std::unordered_map<std::string, std::pair<float, float>> ngrams;
   std::unordered_map<std::string, int> vocab;
   int order = 0;
   int unk_id = -1;
 
+  // BINARY (CNLM) storage: the n-gram bulk stays in the mmap — load cost is
+  // O(vocab), independent of n-gram count (format: text/binlm.py)
+  bool binary = false;
+  void* map_base = nullptr;
+  size_t map_len = 0;
+  struct OrderView {
+    const uint64_t* hash;
+    const float* logp;
+    const float* backoff;
+    uint64_t count;
+  };
+  std::vector<OrderView> views;
+  float unk_logp = 0.0f;
+  bool has_unk_entry = false;
+
+  ~NgramLM() {
+    if (map_base != nullptr) munmap(map_base, map_len);
+  }
+
   int word_id(const std::string& w) const {
     auto it = vocab.find(w);
-    return it == vocab.end() ? unk_id : it->second;
+    if (it != vocab.end()) return it->second;
+    // binary mode: OOV -> id 0xFFFFFFFF (binlm.py OOV_ID; any n-gram
+    // containing it misses, matching the python ArpaLM's string-key miss)
+    return binary ? -1 : unk_id;
   }
 
   static std::string key(const std::vector<int>& ids, size_t begin, size_t end) {
@@ -56,7 +104,85 @@ struct NgramLM {
     return k;
   }
 
+  bool lookup_binary(const std::vector<int>& ids, size_t begin, size_t end,
+                     float* out_logp, float* out_backoff) const {
+    size_t n = end - begin;
+    if (n == 0 || n > views.size()) return false;
+    const OrderView& v = views[n - 1];
+    uint64_t h = ngram_fingerprint(ids, begin, end);
+    const uint64_t* p = std::lower_bound(v.hash, v.hash + v.count, h);
+    if (p == v.hash + v.count || *p != h) return false;
+    size_t i = static_cast<size_t>(p - v.hash);
+    *out_logp = v.logp[i];
+    *out_backoff = v.backoff[i];
+    return true;
+  }
+
+  bool load_binary(const std::string& path) {
+    int fd = ::open(path.c_str(), O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size < 24) {
+      ::close(fd);
+      return false;
+    }
+    map_len = static_cast<size_t>(st.st_size);
+    map_base = mmap(nullptr, map_len, PROT_READ, MAP_SHARED, fd, 0);
+    ::close(fd);
+    if (map_base == MAP_FAILED) {
+      map_base = nullptr;
+      return false;
+    }
+    const uint8_t* p = static_cast<const uint8_t*>(map_base);
+    uint32_t ord = 0, vocab_size = 0;
+    uint64_t blob_bytes = 0;
+    std::memcpy(&ord, p + 8, 4);
+    std::memcpy(&vocab_size, p + 12, 4);
+    std::memcpy(&blob_bytes, p + 16, 8);
+    std::vector<uint64_t> counts(ord);
+    std::memcpy(counts.data(), p + 24, 8 * ord);
+    size_t off = 24 + 8 * static_cast<size_t>(ord);
+    const char* blob = reinterpret_cast<const char*>(p + off);
+    vocab.reserve(vocab_size);
+    size_t pos = 0;
+    for (uint32_t i = 0; i < vocab_size; ++i) {
+      std::string w(blob + pos);
+      pos += w.size() + 1;
+      vocab.emplace(std::move(w), static_cast<int>(i));
+    }
+    off += blob_bytes;
+    off += (8 - off % 8) % 8;
+    views.resize(ord);
+    for (uint32_t n = 0; n < ord; ++n) {
+      uint64_t c = counts[n];
+      views[n].hash = reinterpret_cast<const uint64_t*>(p + off);
+      off += 8 * c;
+      views[n].logp = reinterpret_cast<const float*>(p + off);
+      off += 4 * c;
+      views[n].backoff = reinterpret_cast<const float*>(p + off);
+      off += 4 * c;
+      off += (8 - off % 8) % 8;
+      views[n].count = c;
+    }
+    order = static_cast<int>(ord);
+    binary = true;
+    auto it = vocab.find("<unk>");
+    unk_id = it == vocab.end() ? -1 : it->second;
+    if (unk_id >= 0) {
+      std::vector<int> u{unk_id};
+      float b;
+      has_unk_entry = lookup_binary(u, 0, 1, &unk_logp, &b);
+    }
+    return order > 0;
+  }
+
   bool load(const std::string& path) {
+    {
+      std::ifstream probe(path, std::ios::binary);
+      char magic[8] = {0};
+      if (probe.read(magic, 8) && std::memcmp(magic, "CNLMBIN1", 8) == 0)
+        return load_binary(path);
+    }
     std::ifstream f(path);
     if (!f) return false;
     std::string line;
@@ -109,6 +235,7 @@ struct NgramLM {
 
   float score_from(const std::vector<int>& ids, size_t begin) const {
     if (begin >= ids.size()) return kNegInf;
+    if (binary) return score_from_binary(ids, begin);
     auto it = ngrams.find(key(ids, begin, ids.size()));
     if (it != ngrams.end()) return it->second.first;
     if (begin + 1 == ids.size()) {
@@ -123,6 +250,17 @@ struct NgramLM {
     auto ctx = ngrams.find(key(ids, begin, ids.size() - 1));
     if (ctx != ngrams.end()) backoff = ctx->second.second;
     return backoff + score_from(ids, begin + 1);
+  }
+
+  // same Katz chain over the mmap'd arrays (binlm.py BinaryLM.score)
+  float score_from_binary(const std::vector<int>& ids, size_t begin) const {
+    float logp, bo;
+    if (lookup_binary(ids, begin, ids.size(), &logp, &bo)) return logp;
+    if (begin + 1 == ids.size())
+      return has_unk_entry ? unk_logp : -10.0f * kLog10;
+    float backoff = 0.0f;
+    if (lookup_binary(ids, begin, ids.size() - 1, &logp, &bo)) backoff = bo;
+    return backoff + score_from_binary(ids, begin + 1);
   }
 };
 

@@ -71,7 +71,12 @@ SMAX = np.iinfo(np.int16).max
 
 
 def f2s(signal: np.ndarray) -> np.ndarray:
-    return np.multiply(signal, np.float32(SMAX)).astype('int16')
+    """float [-1, 1] -> int16, CLIPPED. The reference's f2s_numpy
+    (audio.py:14) casts without clipping, so |x| > 1 samples wrap to the
+    opposite sign (e.g. +1.5 -> -0.5) and silently corrupt written audio —
+    deliberate divergence: saturate like every codec does."""
+    return np.multiply(np.clip(signal, -1.0, 1.0),
+                       np.float32(SMAX)).astype('int16')
 
 
 def s2f(signal: np.ndarray) -> np.ndarray:

@@ -230,8 +230,11 @@ def main(args, ext_json=('.json', '.json.gz')):
             mask = detect_speech(signal, sr, window_size=0.02, aggressiveness=args.vad,
                                  window_size_dilate=args.window_size_dilate)
             segments = postprocess_batching(
-                postprocess_cut(mask_to_segments(mask[0], sr)),
-                max_duration=args.max_segment_duration or 20.0)
+                postprocess_cut(mask_to_segments(mask[0], sr),
+                                merge_gap=args.vad_merge_gap,
+                                min_duration=args.vad_min_duration),
+                max_duration=args.max_segment_duration or 20.0,
+                expand=args.vad_expand)
             entries = [dict(audio_path=path, ref='', begin=b, end=e)
                        for b, e in segments] or [dict(audio_path=path, ref='')]
             seg_json = os.path.join(vad_dir, os.path.basename(path) + '.json')
@@ -544,6 +547,17 @@ def build_parser():
     parser.add_argument('--align-boundary-words', action='store_true')
     parser.add_argument('--align-words', action='store_true')
     parser.add_argument('--max-segment-duration', type=float, default=0.0)
+    parser.add_argument('--vad-merge-gap', type=float, default=1.0,
+                        help='merge VAD segments separated by less than this '
+                             'many seconds of silence (audio/vad.py '
+                             'postprocess_cut)')
+    parser.add_argument('--vad-min-duration', type=float, default=0.5,
+                        help='drop VAD segments shorter than this (seconds)')
+    parser.add_argument('--vad-expand', type=float, default=0.5,
+                        help='expand each final VAD segment by this many '
+                             'seconds on each side (postprocess_batching); '
+                             'keep small for models sensitive to in-segment '
+                             'silence (masked instance-norm stats)')
     parser.add_argument('--vad', type=int, default=None, metavar='AGGRESSIVENESS',
                         help='segment long audio by voice activity (0-3) before decoding')
     parser.add_argument('--prune-cer', type=transcripts.number_tuple)

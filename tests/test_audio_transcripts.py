@@ -27,6 +27,18 @@ class TestAudioIO:
         assert out.shape == sig.shape
         assert np.abs(out - sig).max() < 1e-3  # int16 quantization
 
+    def test_out_of_range_saturates(self, tmp_path):
+        """|x| > 1 must CLIP on write, not wrap int16 (the reference's
+        f2s_numpy wraps: +1.5 -> -0.5, audio.py:14 — corrupting loud
+        synthetic/augmented audio; deliberate divergence, io.py f2s)."""
+        sr = 8000
+        sig = np.asarray([[0.5, 1.5, -2.0, 0.999, -1.0]], np.float32)
+        path = str(tmp_path / 'loud.wav')
+        write_audio(path, sig, sr)
+        out, _ = read_audio(path, sample_rate=sr)
+        np.testing.assert_allclose(
+            out[0], [0.5, 1.0, -1.0, 0.999, -1.0], atol=1e-3)
+
     def test_resample(self, wav_path):
         path, sig, sr = wav_path
         out, sr_ = read_audio(path, sample_rate=16000)

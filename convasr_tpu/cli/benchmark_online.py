@@ -99,6 +99,9 @@ def main(args):
             return model.apply(v, x, xlen=xlen)['log_probs'][0]
         fwd = jax.jit(plain)
 
+    if args.streaming:
+        return benchmark_streaming(args, model, variables)
+
     def serve_once():
         # host fetch = the end-to-end cost a serving process pays
         return np.asarray(fwd(variables, x, xlen))
@@ -172,6 +175,104 @@ def main(args):
     return lat
 
 
+def benchmark_streaming(args, model, variables):
+    """StreamingRecognize latency (VERDICT r2 #5): N concurrent real-time
+    streams drive StreamingTranscriber over the fused fixed-window forward.
+
+    Per real-time tick (one --chunk-sec audio chunk per stream) every stream
+    runs one windowed forward. Reported:
+      - accept latency: wall time of one chunk's forward+decode — the
+        INTERIM-result latency a client observes;
+      - commit latency: wall delay between the moment the audio of a FINAL
+        token was spoken (its stream-clock timestamp) and the final event —
+        by construction ~= lookahead + chunk + accept latency;
+      - capacity: the real-time-budget share one stream consumes, i.e. how
+        many such streams one chip sustains with this per-stream dispatch.
+    Distinct random audio per stream/chunk — repeated-content uploads
+    measure a fiction through the tunnel (CLAUDE.md)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    from ..serve.streaming import StreamingTranscriber
+
+    class _Tok:
+        eps_id = args.num_classes - 1
+
+        def decode(self, tls):
+            return ['.' * len(ts) for ts in tls]
+
+    @jax.jit
+    def _fused(v, x, xlen):
+        lp = model.apply(v, x, xlen=xlen)['log_probs'][0]
+        return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
+                          jnp.max(lp, -1).astype(jnp.float32)], -1)
+
+    def fused(x, xlen):
+        return _fused(variables, x, xlen)
+
+    rng = np.random.RandomState(0)
+    sr = args.sample_rate
+    chunk = int(args.chunk_sec * sr)
+    n_ticks = int(args.benchmark_duration / args.chunk_sec)
+    streams = [StreamingTranscriber(fused, _Tok(), sr,
+                                    window_sec=args.window_sec,
+                                    lookahead_sec=args.lookahead_sec)
+               for _ in range(args.streams)]
+    audio = [np.asarray(rng.randn(n_ticks * chunk) * 0.1, np.float32)
+             for _ in range(args.streams)]
+
+    # warmup compiles the (1, W) program
+    streams[0].accept(audio[0][:chunk])
+    streams[0] = StreamingTranscriber(fused, _Tok(), sr,
+                                      window_sec=args.window_sec,
+                                      lookahead_sec=args.lookahead_sec)
+
+    accept_lat, commit_lat, tick_busy = [], [], []
+    t0 = _time.perf_counter()
+    for tick in range(n_ticks):
+        t_tick = t0 + tick * args.chunk_sec
+        now = _time.perf_counter()
+        if now < t_tick:
+            _time.sleep(t_tick - now)
+        busy0 = _time.perf_counter()
+        for s, st in enumerate(streams):
+            fed_through = (tick + 1) * args.chunk_sec  # stream-clock seconds
+            a0 = _time.perf_counter()
+            events = st.accept(audio[s][tick * chunk:(tick + 1) * chunk])
+            a1 = _time.perf_counter()
+            accept_lat.append(a1 - a0)
+            # the tick's audio finished "being spoken" at wall time t_tick +
+            # chunk_sec <= a1; final events commit tokens up to e.end_time
+            for e in events:
+                if e.is_final:
+                    commit_lat.append((a1 - t0) - e.end_time)
+        tick_busy.append(_time.perf_counter() - busy0)
+        if tick_busy[-1] > args.chunk_sec and tick < 3:
+            print(f'warning: tick {tick} overran the real-time budget '
+                  f'({tick_busy[-1] * 1e3:.0f} > {args.chunk_sec * 1e3:.0f} ms)')
+
+    al = np.asarray(accept_lat) * 1e3
+    busy = np.asarray(tick_busy)
+    share = busy.mean() / args.chunk_sec
+    print(f'streams {args.streams} | chunk {args.chunk_sec:.2f}s | window '
+          f'{args.window_sec:.0f}s | lookahead {args.lookahead_sec:.1f}s')
+    print(f'accept (interim) latency: mean {al.mean():.1f} ms, p50 '
+          f'{np.percentile(al, 50):.1f}, p90 {np.percentile(al, 90):.1f}, '
+          f'p99 {np.percentile(al, 99):.1f}, max {al.max():.1f}')
+    if commit_lat:
+        cl = np.asarray(commit_lat)
+        print(f'commit (final) latency: mean {cl.mean() * 1e3:.0f} ms, p50 '
+              f'{np.percentile(cl, 50) * 1e3:.0f}, p99 '
+              f'{np.percentile(cl, 99) * 1e3:.0f} '
+              f'(bound: lookahead {args.lookahead_sec * 1e3:.0f} '
+              f'+ chunk {args.chunk_sec * 1e3:.0f} + accept)')
+    print(f'real-time budget share: {share:.1%} of each {args.chunk_sec:.2f}s '
+          f'tick -> ~{int(args.streams / max(share, 1e-9))} sustainable '
+          f'streams/chip at this chunking')
+    return al
+
+
 def build_parser():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('--device', default=None, choices=['cpu', 'tpu', 'axon'])
@@ -211,6 +312,19 @@ def build_parser():
     parser.add_argument('--benchmark-duration', type=float, default=60.0)
     parser.add_argument('--max-latency', type=float, default=0.5)
     parser.add_argument('--warmup-iterations', type=int, default=10)
+    parser.add_argument('--streaming', action='store_true',
+                        help='benchmark StreamingRecognize latency: N '
+                             'real-time streams through the fixed-window '
+                             'streaming engine (serve/streaming.py)')
+    parser.add_argument('--streams', type=int, default=1,
+                        help='concurrent simulated streams (--streaming)')
+    parser.add_argument('--chunk-sec', type=float, default=0.32,
+                        help='audio chunk per stream per tick (--streaming)')
+    parser.add_argument('--window-sec', type=float, default=10.0,
+                        help='fixed jit window of the streaming engine')
+    parser.add_argument('--lookahead-sec', type=float, default=1.5,
+                        help='interim hold-back; commit latency ~= this + '
+                             'chunk + compute')
     parser.add_argument('--fused-decode', default=True,
                         type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
                         help='greedy argmax on device, one packed output buffer')

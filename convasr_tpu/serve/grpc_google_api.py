@@ -164,6 +164,7 @@ class SpeechServicer:
         assert fused is not None, 'streaming needs the fused forward'
         transcriber = None
         interim_results = True
+        single_utterance = False
         sample_rate_in = self.frontend.sample_rate
 
         def to_response(events):
@@ -184,9 +185,15 @@ class SpeechServicer:
                 assert cfg.config.encoding == pb2.RecognitionConfig.LINEAR16, \
                     'only LINEAR16 supported'
                 interim_results = cfg.interim_results
+                single_utterance = cfg.single_utterance
                 sample_rate_in = cfg.config.sample_rate_hertz or sample_rate_in
                 transcriber = StreamingTranscriber(
-                    fused, self.text_pipeline.tokenizer, self.frontend.sample_rate)
+                    fused, self.text_pipeline.tokenizer,
+                    self.frontend.sample_rate,
+                    # single_utterance: VAD endpointing auto-finalizes on
+                    # trailing silence and the server closes the stream
+                    # (google API semantics; engine: streaming.py)
+                    endpoint_silence_sec=0.8 if cfg.single_utterance else None)
                 continue
             if transcriber is None:  # config-less stream: defaults
                 transcriber = StreamingTranscriber(
@@ -200,6 +207,8 @@ class SpeechServicer:
                 events = [e for e in events if e.is_final]
             if events:
                 yield to_response(events)
+            if single_utterance and transcriber.endpointed:
+                return  # utterance complete: close the stream (google API)
         if transcriber is not None:
             events = transcriber.flush()
             if events:

@@ -62,7 +62,9 @@ class StreamingTranscriber:
     """
 
     def __init__(self, forward_fused, tokenizer, sample_rate: int,
-                 window_sec: float = 10.0, lookahead_sec: float = 1.5):
+                 window_sec: float = 10.0, lookahead_sec: float = 1.5,
+                 endpoint_silence_sec: typing.Optional[float] = None,
+                 endpoint_rel_threshold: float = 0.1):
         self.forward_fused = forward_fused
         self.tokenizer = tokenizer
         self.sample_rate = sample_rate
@@ -70,11 +72,43 @@ class StreamingTranscriber:
         self.window = (self.window // 128) * 128  # bucket-stable jit shape
         self.window_sec = self.window / sample_rate
         self.lookahead_sec = lookahead_sec
+        # VAD endpointing (the Google-API single_utterance behavior): when
+        # the trailing audio has been silent for endpoint_silence_sec, commit
+        # everything pending immediately — the lookahead hold-back only buys
+        # future acoustic context, and silence IS that context
+        self.endpoint_silence_sec = endpoint_silence_sec
+        self.endpoint_rel_threshold = endpoint_rel_threshold
+        self._speech_rms = 0.0        # running speech-level estimate
+        self._silence_run_sec = 0.0
+        self.endpointed = False       # latched by the last endpoint event
         self.buf = np.zeros(0, np.float32)
         self.total_sec = 0.0          # audio received so far
         self.committed_sec = 0.0      # committed up to this absolute time
         self.collapse = None          # built lazily (needs blank id)
         self._frame_dur = None
+
+    def _update_endpoint(self, chunk: np.ndarray) -> bool:
+        """Track trailing silence; True when an utterance endpoint fires.
+
+        Silence = 20 ms frame RMS below endpoint_rel_threshold x running
+        speech level (adaptive — no absolute calibration needed)."""
+        if self.endpoint_silence_sec is None or chunk.size == 0:
+            return False
+        frame = max(1, int(0.02 * self.sample_rate))
+        n = len(chunk) // frame
+        if n == 0:
+            return False
+        rms = np.sqrt(np.mean(
+            chunk[:n * frame].reshape(n, frame).astype(np.float64) ** 2,
+            axis=1))
+        for r in rms:
+            if r > self.endpoint_rel_threshold * self._speech_rms:
+                self._speech_rms = max(self._speech_rms * 0.95, float(r))
+                self._silence_run_sec = 0.0
+            else:
+                self._silence_run_sec += frame / self.sample_rate
+        return (self._speech_rms > 0.0
+                and self._silence_run_sec >= self.endpoint_silence_sec)
 
     def _decode_window(self):
         """Run the model over the last `window` samples (left zero-padded)."""
@@ -105,10 +139,15 @@ class StreamingTranscriber:
         if self.collapse is None:
             self.collapse = StreamingCTCCollapse(self.tokenizer.eps_id)
 
+        endpoint = self._update_endpoint(chunk)
         idx, times = self._decode_window()
-        horizon = self.total_sec - self.lookahead_sec
+        # at an endpoint the trailing silence IS the future context the
+        # lookahead normally waits for — commit everything received
+        horizon = self.total_sec if endpoint \
+            else self.total_sec - self.lookahead_sec
         commit_mask = (times > self.committed_sec) & (times <= horizon)
         interim_mask = times > max(horizon, self.committed_sec)
+        self.endpointed = endpoint
 
         events = []
         committed_now = self.collapse.feed(idx[commit_mask])

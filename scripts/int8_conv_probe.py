@@ -7,7 +7,7 @@ Candidates:
   bf16 XLA conv     (185 TFLOPs/s round-2 baseline)
   int8 XLA conv     conv_general_dilated on int8 operands -> int32
   int8 pallas conv  per-tap int8 dots, int32 VMEM accumulator (adapted
-                    ops/conv1d_pallas.py dataflow)
+                    from the since-retired ops/conv1d_pallas.py dataflow)
   int8 pallas conv wide  C_TILE=256 rows=512 (bigger MXU tiles)
 Usage: python scripts/int8_conv_probe.py  (ALONE on the chip)
 """

@@ -5,14 +5,18 @@ the next (no dead-code elimination possible), and the per-iteration time is
 the slope between a short and a long chain, cancelling the ~25-30 ms tunnel
 dispatch+fetch constant. Usage: python scripts/perf_probe.py
 
-Round-2 measured results (v5e, bf16 peak = 197 TFLOPs/s, int8 peak = 394 TOPS):
+Round-2/3 measured results (v5e, bf16 peak = 197 TFLOPs/s, int8 peak = 394 TOPS):
   pure GEMM 4096^3                 181 TFLOPs/s  (92%)
   XLA conv B256 T304 768ch K25     185 TFLOPs/s  (94%)
-  pallas conv (ops/conv1d_pallas)  169 TFLOPs/s  (86%)
-  pallas int8 GEMM                  93 TOPS      (int8 MXU path NOT engaged)
+  XLA int8 conv (same shape)       380.5 TOPS    (97% of int8 peak, 2.07x bf16
+                                   -- scripts/int8_conv_probe.py; round 2's
+                                   'int8 not reachable' was a harness artifact)
   FULL JasperNetBig fwd B256 T6s   179 TFLOPs/s  (91%)  -> device RTF 10314
-Conclusion: the model is at matmul speed-of-light; no bf16 kernel headroom,
-and the int8 2x path is not reachable through XLA or Mosaic on this platform.
+  int8 PTQ JasperNetBig fwd        RTF 16216-16279 (models/quantized.py)
+Conclusion: bf16 AND int8 are both at MXU speed-of-light through plain XLA
+convs. The bf16 pallas research kernel (ops/conv1d_pallas.py, 169 TFLOPs/s =
+below XLA) was retired in round 3 -- nothing a hand kernel can add when the
+compiler path is at 94-97% of peak; history: git log tests/test_conv1d_pallas.py.
 """
 import sys
 import time
@@ -60,12 +64,10 @@ def gemm_chain(N):
     print(f'GEMM {N}^3 bf16: {2 * N**3 / per / 1e12:.1f} TFLOPs/s ({per*1e3:.2f} ms)')
 
 
-def conv_chain(B=256, T=304, C=768, K=25, use_pallas=False):
-    from convasr_tpu.ops.conv1d_pallas import conv1d_mxu
-    conv = ((lambda x, w: conv1d_mxu(x, w, jnp.bfloat16)) if use_pallas else
-            (lambda x, w: jax.lax.conv_general_dilated(
+def conv_chain(B=256, T=304, C=768, K=25):
+    conv = (lambda x, w: jax.lax.conv_general_dilated(
                 x, w, (1,), 'SAME', dimension_numbers=('NWC', 'WIO', 'NWC'),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)))
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16))
 
     def make(iters):
         @jax.jit
@@ -80,8 +82,7 @@ def conv_chain(B=256, T=304, C=768, K=25, use_pallas=False):
     w = jnp.asarray((rng.randn(K, C, C) * 0.01).astype(np.float32)).astype(jnp.bfloat16)
     per = slope(make, (x, w))
     fl = 2 * B * T * C * C * K
-    name = 'pallas' if use_pallas else 'XLA'
-    print(f'{name} conv B{B} T{T} {C}ch K{K}: {fl / per / 1e12:.1f} TFLOPs/s '
+    print(f'XLA conv B{B} T{T} {C}ch K{K}: {fl / per / 1e12:.1f} TFLOPs/s '
           f'= {fl / per / 1e12 / 197 * 100:.0f}% of bf16 peak')
 
 
@@ -118,5 +119,4 @@ def model_chain(B=256, seconds=6.016):
 if __name__ == '__main__':
     gemm_chain(4096)
     conv_chain()
-    conv_chain(use_pallas=True)
     model_chain()

@@ -123,6 +123,67 @@ class TestStreamingTranscriber:
         assert st.full_text() == offline
 
 
+class TestEndpointing:
+    """VAD endpointing (single_utterance): trailing silence must auto-commit
+    the pending tail without waiting out the lookahead."""
+    SR = 8000
+    FRAME = 0.02
+
+    @staticmethod
+    def silence_aware_forward(sample_rate, frame_dur):
+        """Near-zero frames decode as BLANK (a real acoustic model emits
+        blank over silence); louder frames amplitude-code the token."""
+        def fused(x, xlen):
+            x = np.asarray(x)
+            W = x.shape[1]
+            frames = int(round(W / sample_rate / frame_dur))
+            idx = np.zeros((1, frames, 2), np.float32)
+            hop = W // frames
+            for f in range(frames):
+                v = x[0, f * hop + hop // 2]
+                idx[0, f, 0] = 4 if abs(v) < 0.05 else np.round(v * 10).clip(0, 4)
+            return idx
+        return fused
+
+    def make(self, endpoint):
+        return StreamingTranscriber(
+            self.silence_aware_forward(self.SR, self.FRAME), FakeTokenizer(),
+            self.SR, window_sec=4.0,
+            lookahead_sec=10.0,  # absurdly long: nothing commits WITHOUT vad
+            endpoint_silence_sec=endpoint)
+
+    def speech_then_silence(self, st, silence_sec=1.0):
+        hop = int(self.SR * self.FRAME)
+        sig = np.concatenate([
+            np.repeat(np.asarray([0.1, 0.1, 0.2, 0.2], np.float32), hop),
+            np.zeros(int(self.SR * silence_sec), np.float32)])
+        events = []
+        for start in range(0, len(sig), hop * 5):
+            events.extend(st.accept(sig[start:start + hop * 5]))
+        return events
+
+    def test_silence_triggers_final(self):
+        st = self.make(endpoint=0.5)
+        events = self.speech_then_silence(st)
+        finals = [e for e in events if e.is_final]
+        assert st.endpointed
+        assert ''.join(e.text for e in finals) == 'bc'
+
+    def test_no_endpoint_without_vad(self):
+        st = self.make(endpoint=None)
+        events = self.speech_then_silence(st)
+        assert not [e for e in events if e.is_final]
+        assert not st.endpointed
+        # flush still commits everything at end of stream
+        assert ''.join(e.text for e in st.flush() if e.is_final) == 'bc'
+
+    def test_endpoint_respects_silence_duration(self):
+        st = self.make(endpoint=2.0)  # longer than the 1 s pause
+        events = self.speech_then_silence(st, silence_sec=1.0)
+        assert not [e for e in events if e.is_final]
+        assert not st.endpointed
+
+
 @pytest.mark.slow
 class TestGrpcStreaming:
     def test_live_roundtrip(self):

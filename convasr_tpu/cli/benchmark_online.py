@@ -215,18 +215,36 @@ def benchmark_streaming(args, model, variables):
     sr = args.sample_rate
     chunk = int(args.chunk_sec * sr)
     n_ticks = int(args.benchmark_duration / args.chunk_sec)
-    streams = [StreamingTranscriber(fused, _Tok(), sr,
-                                    window_sec=args.window_sec,
-                                    lookahead_sec=args.lookahead_sec)
-               for _ in range(args.streams)]
     audio = [np.asarray(rng.randn(n_ticks * chunk) * 0.1, np.float32)
              for _ in range(args.streams)]
 
-    # warmup compiles the (1, W) program
-    streams[0].accept(audio[0][:chunk])
-    streams[0] = StreamingTranscriber(fused, _Tok(), sr,
-                                      window_sec=args.window_sec,
-                                      lookahead_sec=args.lookahead_sec)
+    batched = args.streaming_engine == 'batched'
+    if batched:
+        # shared (N, W) device ring buffer, 2 dispatches/tick TOTAL
+        # (serve/streaming_batch.py) vs one fused dispatch per stream
+        from ..serve.streaming_batch import BatchedStreamingEngine
+
+        def make_engine():
+            eng = BatchedStreamingEngine(fused, sr, n_slots=args.streams,
+                                         window_sec=args.window_sec,
+                                         chunk_sec=args.chunk_sec)
+            return eng, [eng.open(_Tok(), lookahead_sec=args.lookahead_sec)
+                         for _ in range(args.streams)]
+
+        engine, streams = make_engine()
+        streams[0].accept(audio[0][:chunk])
+        engine.tick()                       # warmup compiles the (N, W) step
+        engine, streams = make_engine()     # fresh state, cached compile
+    else:
+        streams = [StreamingTranscriber(fused, _Tok(), sr,
+                                        window_sec=args.window_sec,
+                                        lookahead_sec=args.lookahead_sec)
+                   for _ in range(args.streams)]
+        # warmup compiles the (1, W) program
+        streams[0].accept(audio[0][:chunk])
+        streams[0] = StreamingTranscriber(fused, _Tok(), sr,
+                                          window_sec=args.window_sec,
+                                          lookahead_sec=args.lookahead_sec)
 
     accept_lat, commit_lat, tick_busy = [], [], []
     t0 = _time.perf_counter()
@@ -236,15 +254,31 @@ def benchmark_streaming(args, model, variables):
         if now < t_tick:
             _time.sleep(t_tick - now)
         busy0 = _time.perf_counter()
-        for s, st in enumerate(streams):
-            fed_through = (tick + 1) * args.chunk_sec  # stream-clock seconds
+        tick_events = []
+        if batched:
+            for s, st in enumerate(streams):
+                st.accept(audio[s][tick * chunk:(tick + 1) * chunk])
             a0 = _time.perf_counter()
-            events = st.accept(audio[s][tick * chunk:(tick + 1) * chunk])
+            engine.tick()
+            for st in streams:
+                tick_events.extend(st.drain())
             a1 = _time.perf_counter()
-            accept_lat.append(a1 - a0)
-            # the tick's audio finished "being spoken" at wall time t_tick +
-            # chunk_sec <= a1; final events commit tokens up to e.end_time
-            for e in events:
+            accept_lat.append(a1 - a0)   # ONE shared dispatch for all streams
+        else:
+            for s, st in enumerate(streams):
+                a0 = _time.perf_counter()
+                tick_events = st.accept(audio[s][tick * chunk:(tick + 1) * chunk])
+                a1 = _time.perf_counter()
+                accept_lat.append(a1 - a0)
+                # the tick's audio finished "being spoken" at wall time
+                # t_tick + chunk_sec <= a1; final events commit tokens up to
+                # e.end_time
+                for e in tick_events:
+                    if e.is_final:
+                        commit_lat.append((a1 - t0) - e.end_time)
+        if batched:
+            a1 = _time.perf_counter()
+            for e in tick_events:
                 if e.is_final:
                     commit_lat.append((a1 - t0) - e.end_time)
         tick_busy.append(_time.perf_counter() - busy0)
@@ -255,9 +289,11 @@ def benchmark_streaming(args, model, variables):
     al = np.asarray(accept_lat) * 1e3
     busy = np.asarray(tick_busy)
     share = busy.mean() / args.chunk_sec
-    print(f'streams {args.streams} | chunk {args.chunk_sec:.2f}s | window '
-          f'{args.window_sec:.0f}s | lookahead {args.lookahead_sec:.1f}s')
-    print(f'accept (interim) latency: mean {al.mean():.1f} ms, p50 '
+    print(f'engine {args.streaming_engine} | streams {args.streams} | chunk '
+          f'{args.chunk_sec:.2f}s | window {args.window_sec:.0f}s | '
+          f'lookahead {args.lookahead_sec:.1f}s')
+    kind = 'tick (all streams, interim)' if batched else 'accept (interim)'
+    print(f'{kind} latency: mean {al.mean():.1f} ms, p50 '
           f'{np.percentile(al, 50):.1f}, p90 {np.percentile(al, 90):.1f}, '
           f'p99 {np.percentile(al, 99):.1f}, max {al.max():.1f}')
     if commit_lat:
@@ -318,6 +354,12 @@ def build_parser():
                              'streaming engine (serve/streaming.py)')
     parser.add_argument('--streams', type=int, default=1,
                         help='concurrent simulated streams (--streaming)')
+    parser.add_argument('--streaming-engine', default='per-stream',
+                        choices=['per-stream', 'batched'],
+                        help='per-stream: one fused dispatch per stream per '
+                             'chunk; batched: shared (N, W) device ring '
+                             'buffer, 2 dispatches/tick total '
+                             '(serve/streaming_batch.py)')
     parser.add_argument('--chunk-sec', type=float, default=0.32,
                         help='audio chunk per stream per tick (--streaming)')
     parser.add_argument('--window-sec', type=float, default=10.0,

@@ -30,7 +30,8 @@ class SpeechServicer:
     """Recognize implementation over a jitted forward + greedy generator."""
 
     def __init__(self, text_pipeline, frontend, forward, generator,
-                 bucket_sec: float = 1.0, decoder=None, batcher=None):
+                 bucket_sec: float = 1.0, decoder=None, batcher=None,
+                 stream_engine=None):
         self.text_pipeline = text_pipeline
         self.frontend = frontend
         self.forward = forward
@@ -42,6 +43,11 @@ class SpeechServicer:
         # optional DynamicBatcher: concurrent fused requests share ONE device
         # dispatch (serve/batching.py; beyond the reference's per-thread B=1)
         self.batcher = batcher
+        # optional BatchedStreamingEngine: all StreamingRecognize sessions
+        # share one (N, W) device ring buffer + ONE forward per tick
+        # (serve/streaming_batch.py); falls back to per-stream dispatch when
+        # the slots are full
+        self.stream_engine = stream_engine
         # requests are zero-padded up to the next bucket so each distinct
         # audio length does NOT compile a new program (first jit compile of
         # the flagship takes 30-90 s over the tunnel; an unpadded server
@@ -155,6 +161,20 @@ class SpeechServicer:
             channel_tag=1)])
 
 
+    def _open_stream(self, fused, endpoint=None):
+        """A streaming session: a slot in the shared batched engine when one
+        is configured (and free), else a per-stream StreamingTranscriber."""
+        from .streaming import StreamingTranscriber
+        if self.stream_engine is not None:
+            try:
+                return self.stream_engine.open(
+                    self.text_pipeline.tokenizer, endpoint_silence_sec=endpoint)
+            except AssertionError:
+                pass  # all slots busy: per-stream fallback below
+        return StreamingTranscriber(
+            fused, self.text_pipeline.tokenizer, self.frontend.sample_rate,
+            endpoint_silence_sec=endpoint)
+
     def StreamingRecognize(self, request_iterator, context=None):
         """Bidirectional streaming (beyond the reference, which implements
         only unary Recognize — serve_google_api.py:26-59): audio chunks in,
@@ -179,40 +199,45 @@ class SpeechServicer:
                     result_end_time=mktime(e.end_time), channel_tag=1))
             return pb2.StreamingRecognizeResponse(results=results)
 
-        for request in request_iterator:
-            if request.HasField('streaming_config'):
-                cfg = request.streaming_config
-                assert cfg.config.encoding == pb2.RecognitionConfig.LINEAR16, \
-                    'only LINEAR16 supported'
-                interim_results = cfg.interim_results
-                single_utterance = cfg.single_utterance
-                sample_rate_in = cfg.config.sample_rate_hertz or sample_rate_in
-                transcriber = StreamingTranscriber(
-                    fused, self.text_pipeline.tokenizer,
-                    self.frontend.sample_rate,
+        try:
+            for request in request_iterator:
+                if request.HasField('streaming_config'):
+                    cfg = request.streaming_config
+                    assert cfg.config.encoding == pb2.RecognitionConfig.LINEAR16, \
+                        'only LINEAR16 supported'
+                    interim_results = cfg.interim_results
+                    single_utterance = cfg.single_utterance
+                    sample_rate_in = cfg.config.sample_rate_hertz or sample_rate_in
                     # single_utterance: VAD endpointing auto-finalizes on
                     # trailing silence and the server closes the stream
                     # (google API semantics; engine: streaming.py)
-                    endpoint_silence_sec=0.8 if cfg.single_utterance else None)
-                continue
-            if transcriber is None:  # config-less stream: defaults
-                transcriber = StreamingTranscriber(
-                    fused, self.text_pipeline.tokenizer, self.frontend.sample_rate)
-            signal, _ = audio_io.read_audio(
-                None, raw_bytes=request.audio_content,
-                raw_sample_rate=sample_rate_in, raw_num_channels=1,
-                raw_dtype='int16', sample_rate=self.frontend.sample_rate, mono=True)
-            events = transcriber.accept(signal[0])
-            if not interim_results:
-                events = [e for e in events if e.is_final]
-            if events:
-                yield to_response(events)
-            if single_utterance and transcriber.endpointed:
-                return  # utterance complete: close the stream (google API)
-        if transcriber is not None:
-            events = transcriber.flush()
-            if events:
-                yield to_response(events)
+                    transcriber = self._open_stream(
+                        fused, endpoint=0.8 if cfg.single_utterance else None)
+                    continue
+                if transcriber is None:  # config-less stream: defaults
+                    transcriber = self._open_stream(fused)
+                signal, _ = audio_io.read_audio(
+                    None, raw_bytes=request.audio_content,
+                    raw_sample_rate=sample_rate_in, raw_num_channels=1,
+                    raw_dtype='int16', sample_rate=self.frontend.sample_rate, mono=True)
+                events = transcriber.accept(signal[0])
+                if not interim_results:
+                    events = [e for e in events if e.is_final]
+                if events:
+                    yield to_response(events)
+                if single_utterance and transcriber.endpointed:
+                    return  # utterance complete: close the stream (google API)
+            if transcriber is not None:
+                events = transcriber.flush()
+                if events:
+                    yield to_response(events)
+        finally:
+            # a batched-engine session must free its ring slot even on an
+            # abrupt client disconnect or single_utterance early return
+            slot = getattr(transcriber, 'slot', None)
+            if slot is not None and not getattr(transcriber, 'closed', True):
+                self.stream_engine.release(slot)
+                transcriber.closed = True
 
 
 def make_server(servicer: SpeechServicer, endpoint: str, num_workers: int = 10):
@@ -265,8 +290,20 @@ def main(args):
         batcher = DynamicBatcher(forward.fused_i16, max_batch=args.max_batch_size,
                                  max_wait_ms=args.batch_window_ms,
                                  dtype=np.int16)
+    stream_engine = None
+    if args.streaming_slots > 0:
+        # batched streaming: all StreamingRecognize sessions share one
+        # (N, W) device ring buffer and ONE forward per tick — 2 dispatches
+        # per tick total instead of one per stream (streaming_batch.py)
+        from .streaming_batch import BatchedStreamingEngine, EngineTicker
+        stream_engine = BatchedStreamingEngine(
+            forward.fused, frontend.sample_rate, n_slots=args.streaming_slots,
+            window_sec=args.streaming_window_sec,
+            chunk_sec=args.streaming_chunk_sec)
+        EngineTicker(stream_engine).start()
     servicer = SpeechServicer(text_pipeline, frontend, forward, generator,
-                              decoder=decoder, batcher=batcher)
+                              decoder=decoder, batcher=batcher,
+                              stream_engine=stream_engine)
     server = make_server(servicer, args.endpoint, args.num_workers)
     print('Serving google-cloud-speech API @', args.endpoint)
     server.start()
@@ -309,6 +346,13 @@ def build_parser():
     parser.add_argument('--max-batch-size', type=int, default=8,
                         help='rows per compiled serving program when dynamic '
                              'batching is on (batch dim padded to this)')
+    parser.add_argument('--streaming-slots', type=int, default=0,
+                        help='batched streaming: N concurrent '
+                             'StreamingRecognize sessions share one device '
+                             'ring buffer + one forward per tick (0 = '
+                             'per-stream dispatch)')
+    parser.add_argument('--streaming-window-sec', type=float, default=10.0)
+    parser.add_argument('--streaming-chunk-sec', type=float, default=0.32)
     return parser
 
 

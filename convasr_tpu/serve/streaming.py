@@ -141,10 +141,20 @@ class StreamingTranscriber:
 
         endpoint = self._update_endpoint(chunk)
         idx, times = self._decode_window()
+        return self._emit(idx, times, endpoint, self.total_sec)
+
+    def _emit(self, idx, times, endpoint: bool,
+              end_sec: float) -> typing.List['StreamEvent']:
+        """Commit/interim split over one decoded window.
+
+        `end_sec` is the stream-clock time of the last decoded frame (equals
+        total_sec for the per-stream engine; the batched engine passes its
+        consumed-so-far clock, which may trail total_sec by < one chunk)."""
+        if self.collapse is None:
+            self.collapse = StreamingCTCCollapse(self.tokenizer.eps_id)
         # at an endpoint the trailing silence IS the future context the
         # lookahead normally waits for — commit everything received
-        horizon = self.total_sec if endpoint \
-            else self.total_sec - self.lookahead_sec
+        horizon = end_sec if endpoint else end_sec - self.lookahead_sec
         commit_mask = (times > self.committed_sec) & (times <= horizon)
         interim_mask = times > max(horizon, self.committed_sec)
         self.endpointed = endpoint
@@ -161,7 +171,7 @@ class StreamingTranscriber:
         if tail:
             events.append(StreamEvent(
                 text=self.tokenizer.decode([tail])[0],
-                is_final=False, end_time=self.total_sec))
+                is_final=False, end_time=end_sec))
         return events
 
     def flush(self) -> typing.List[StreamEvent]:

@@ -143,11 +143,15 @@ def der(ref_transcript, hyp_transcript, sample_rate: int = 100) -> float:
 
 
 def sad_transcript(signal: np.ndarray, sample_rate: int, window_size: float = 0.02,
-                   aggressiveness: int = 1, extra: dict = {}):
+                   aggressiveness: int = 1, extra: dict = {},
+                   backend=None, neural_model=None):
     """Per-channel speech-activity segments (spec: WebrtcSpeechActivityDetection
-    diarization.py:24-33; uses the in-repo VAD when webrtcvad is absent)."""
+    diarization.py:24-33; uses the in-repo VAD when webrtcvad is absent;
+    backend='neural' + neural_model runs the learned SAD — the stand-in for
+    the reference's pyannote pipeline, diarization.py:36-45)."""
     speech = vad_module.detect_speech(signal, sample_rate, window_size,
-                                      aggressiveness=aggressiveness)
+                                      aggressiveness=aggressiveness,
+                                      backend=backend, neural_model=neural_model)
     transcript = []
     for channel in range(len(speech)):
         starts, lengths, values = rle1d(speech[channel])
@@ -198,11 +202,17 @@ def cmd_ref(input_path, output_path, sample_rate, window_size, max_duration,
 
 
 def cmd_hyp(input_path, output_path, sample_rate, window_size, max_duration, html, ext,
-            batch_size=8, device=None):
+            batch_size=8, device=None, vad_backend=None, vad_model=None):
     """SAD-based hypothesis diarization (in-repo VAD; the reference used an
-    external pyannote pipeline here, diarization.py:137-161). batch_size and
-    device (diarization.py:263-266) are accepted for CLI compatibility; the
-    energy SAD is host-side numpy so they are inert."""
+    external pyannote pipeline here, diarization.py:137-161 — pass
+    vad_backend='neural' + vad_model for the learned SAD equivalent).
+    batch_size and device (diarization.py:263-266) are accepted for CLI
+    compatibility; the energy SAD is host-side numpy so they are inert."""
+    neural_model = None
+    if vad_backend == 'neural':
+        from .neural_vad import NeuralVADModel
+        assert vad_model, "vad_backend='neural' needs vad_model"
+        neural_model = NeuralVADModel.load(vad_model)
     os.makedirs(output_path, exist_ok=True)
     sources = ([(input_path, n) for n in os.listdir(input_path)]
                if os.path.isdir(input_path)
@@ -214,7 +224,9 @@ def cmd_hyp(input_path, output_path, sample_rate, window_size, max_duration, htm
         signal, sr = audio_io.read_audio(audio_path, sample_rate=sample_rate,
                                          mono=False, duration=max_duration)
         transcript = sad_transcript(signal, sr, window_size,
-                                    extra=dict(audio_path=audio_path))
+                                    extra=dict(audio_path=audio_path),
+                                    backend=vad_backend,
+                                    neural_model=neural_model)
         transcripts.collect_speaker_names(transcript, set_speaker_data=True)
         for out_ext in ['.json', '.rttm']:
             path = os.path.join(output_path, noext + out_ext)
@@ -271,6 +283,10 @@ def build_parser():
     c.add_argument('--max-duration', type=float)
     c.add_argument('--html', action='store_true')
     c.add_argument('--ext', default='.mp3.wav')
+    c.add_argument('--vad-backend', default=None,
+                   choices=['energy', 'webrtcvad', 'neural'])
+    c.add_argument('--vad-model', default=None,
+                   help='NeuralVADModel .npz for --vad-backend neural')
     c.set_defaults(func=cmd_hyp)
     c = sub.add_parser('eval')
     c.add_argument('--ref', required=True)

@@ -36,24 +36,37 @@ def _frame_energy_vad(channel: np.ndarray, sample_rate: int, frame_len: int,
 
 def detect_speech(signal: np.ndarray, sample_rate: int, window_size: float,
                   aggressiveness: int = 1, window_size_dilate: typing.Optional[float] = None,
-                  backend: typing.Optional[str] = None) -> np.ndarray:
-    """(C, T) float32 signal -> (C, T) boolean speech mask (spec: vad.py:12-25)."""
+                  backend: typing.Optional[str] = None,
+                  neural_model=None) -> np.ndarray:
+    """(C, T) float32 signal -> (C, T) boolean speech mask (spec: vad.py:12-25).
+
+    backend: None (webrtcvad if installed, else energy), 'webrtcvad',
+    'energy', or 'neural' (learned SAD, audio/neural_vad.py — the in-repo
+    stand-in for the reference's pyannote SAD, diarization.py:36-45;
+    requires neural_model=NeuralVADModel)."""
     signal = np.atleast_2d(np.asarray(signal))
     frame_len = int(window_size * sample_rate)
-    use_webrtc = backend == 'webrtcvad' or (backend is None and webrtcvad is not None)
-
-    masks = []
-    for channel in signal:
-        if use_webrtc and webrtcvad is not None:
-            vad = webrtcvad.Vad(aggressiveness)
-            int16 = (np.clip(channel, -1, 1) * 32767).astype('<i2')
-            n_frames = len(int16) // frame_len
-            frames = int16[:n_frames * frame_len].reshape(n_frames, frame_len)
-            speech = np.asarray([vad.is_speech(f.tobytes(), sample_rate) for f in frames])
-        else:
-            speech = _frame_energy_vad(channel, sample_rate, frame_len, aggressiveness)
-        masks.append(speech)
-    speech = np.stack(masks) if masks else np.zeros((0, 0), bool)
+    if backend == 'neural':
+        assert neural_model is not None, "backend='neural' needs neural_model"
+        # the model frames at its own FRAME_SEC; re-frame to window_size
+        sample_mask = neural_model.mask(signal, sample_rate)
+        n_frames = signal.shape[1] // frame_len
+        speech = sample_mask[:, :n_frames * frame_len] \
+            .reshape(signal.shape[0], n_frames, frame_len).mean(-1) > 0.5
+    else:
+        use_webrtc = backend == 'webrtcvad' or (backend is None and webrtcvad is not None)
+        masks = []
+        for channel in signal:
+            if use_webrtc and webrtcvad is not None:
+                vad = webrtcvad.Vad(aggressiveness)
+                int16 = (np.clip(channel, -1, 1) * 32767).astype('<i2')
+                n_frames = len(int16) // frame_len
+                frames = int16[:n_frames * frame_len].reshape(n_frames, frame_len)
+                speech = np.asarray([vad.is_speech(f.tobytes(), sample_rate) for f in frames])
+            else:
+                speech = _frame_energy_vad(channel, sample_rate, frame_len, aggressiveness)
+            masks.append(speech)
+        speech = np.stack(masks) if masks else np.zeros((0, 0), bool)
 
     if window_size_dilate is not None and speech.size:
         # morphological dilation: max-pool with kernel window_size_dilate

@@ -219,6 +219,13 @@ def main(args, ext_json=('.json', '.json.gz')):
         # the reference left this as scaffolding, vad.py + transcribe.py:1-2)
         from ..audio.vad import detect_speech, mask_to_segments, postprocess_cut, \
             postprocess_batching
+        neural_model = None
+        if args.vad_backend == 'neural':
+            # learned SAD (audio/neural_vad.py) — the in-repo stand-in for
+            # the reference's pyannote SAD pipeline (diarization.py:36-45)
+            from ..audio.neural_vad import NeuralVADModel
+            assert args.vad_model, '--vad-backend neural needs --vad-model'
+            neural_model = NeuralVADModel.load(args.vad_model)
         vad_dir = os.path.join(args.output_path, 'vad_segments')
         os.makedirs(vad_dir, exist_ok=True)
         chunked_paths = []
@@ -228,7 +235,8 @@ def main(args, ext_json=('.json', '.json.gz')):
                 continue
             signal, sr = audio_io.read_audio(path, sample_rate=args.sample_rate, mono=True)
             mask = detect_speech(signal, sr, window_size=0.02, aggressiveness=args.vad,
-                                 window_size_dilate=args.window_size_dilate)
+                                 window_size_dilate=args.window_size_dilate,
+                                 backend=args.vad_backend, neural_model=neural_model)
             segments = postprocess_batching(
                 postprocess_cut(mask_to_segments(mask[0], sr),
                                 merge_gap=args.vad_merge_gap,
@@ -547,6 +555,15 @@ def build_parser():
     parser.add_argument('--align-boundary-words', action='store_true')
     parser.add_argument('--align-words', action='store_true')
     parser.add_argument('--max-segment-duration', type=float, default=0.0)
+    parser.add_argument('--vad-backend', default=None,
+                        choices=['energy', 'webrtcvad', 'neural'],
+                        help='speech detector: energy (default), webrtcvad '
+                             'when installed, or the learned SAD '
+                             '(audio/neural_vad.py; needs --vad-model)')
+    parser.add_argument('--vad-model', default=None,
+                        help='NeuralVADModel .npz for --vad-backend neural '
+                             '(train: python -m convasr_tpu.audio.neural_vad '
+                             '--train out.npz)')
     parser.add_argument('--vad-merge-gap', type=float, default=1.0,
                         help='merge VAD segments separated by less than this '
                              'many seconds of silence (audio/vad.py '

@@ -281,6 +281,26 @@ def main(args):
     enable_compilation_cache()
     from ..cli import transcribe as transcribe_cli
     text_pipeline, frontend, model, forward, generator, decoder = transcribe_cli.setup(args)
+    if args.quantize == 'int8':
+        # int8 PTQ serving: calibrate activation scales on a small audio
+        # corpus at startup, then every fused/fused_i16 dispatch rides the
+        # MXU int8 path (models/quantized.py; 2x bf16 peak measured)
+        assert args.calibration_data, '--quantize int8 needs --calibration-data'
+        from ..data.dataset import AudioTextDataset
+        dataset = AudioTextDataset(
+            [args.calibration_data], [text_pipeline], args.sample_rate,
+            frontend=None, mode='batched_transcript')
+        calib = []
+        for k in range(min(args.calibration_batches, len(dataset))):
+            _, _, cx, cxlen, _, _ = dataset.collate_fn(dataset[k])
+            if cx.size:
+                calib.append(dict(x=np.asarray(cx[:, 0, :]),
+                                  xlen=np.asarray(cxlen)))
+        import time as _time
+        tic = _time.time()
+        forward.calibrate(calib, percentile=args.calibration_percentile)
+        print(f'int8 PTQ: calibrated on {len(calib)} batch(es) in '
+              f'{_time.time() - tic:.1f} sec')
     batcher = None
     if args.batch_window_ms > 0 and decoder is None:
         # dynamic batching: concurrent Recognize calls that land within the
@@ -353,6 +373,14 @@ def build_parser():
                              'per-stream dispatch)')
     parser.add_argument('--streaming-window-sec', type=float, default=10.0)
     parser.add_argument('--streaming-chunk-sec', type=float, default=0.32)
+    parser.add_argument('--quantize', default=None, choices=['int8'],
+                        help='serve the int8 PTQ graph (MXU 394-TOPS path, '
+                             'models/quantized.py); needs --calibration-data')
+    parser.add_argument('--calibration-data', default=None,
+                        help='transcript json/audio dir for PTQ activation '
+                             'calibration at startup')
+    parser.add_argument('--calibration-batches', type=int, default=4)
+    parser.add_argument('--calibration-percentile', type=float, default=100.0)
     return parser
 
 

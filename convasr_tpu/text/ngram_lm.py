@@ -195,3 +195,30 @@ def train_from_transcripts(paths: typing.Sequence[str], order: int = 3,
                         sentences.append(char_tokenize(line) if char_level
                                          else line.split())
     return train_ngram_lm(sentences, order=order)
+
+
+def main():
+    """CLI lmplz replacement: transcripts/corpus -> interpolated-KN ARPA."""
+    import argparse
+    ap = argparse.ArgumentParser(
+        description='train an interpolated Kneser-Ney n-gram LM to ARPA '
+                    '(in-repo lmplz replacement; reference workflow '
+                    'README.md:152-172)')
+    ap.add_argument('inputs', nargs='+',
+                    help='transcript .json[.gz] (ref field) or .txt corpora')
+    ap.add_argument('-o', '--output', required=True, help='ARPA out path')
+    ap.add_argument('--order', type=int, default=3)
+    ap.add_argument('--char-level', action='store_true',
+                    help='character LM (space -> the underscore stand-in '
+                         'token, see char_tokenize)')
+    ap.add_argument('--text-key', default='ref')
+    args = ap.parse_args()
+    arpa = train_from_transcripts(args.inputs, order=args.order,
+                                  char_level=args.char_level,
+                                  text_key=args.text_key)
+    save_arpa(arpa, args.output)
+    print(args.output)
+
+
+if __name__ == '__main__':
+    main()

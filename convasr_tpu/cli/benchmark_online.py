@@ -42,6 +42,8 @@ def main(args):
            'bn_axis_name', 'decoder_type', 'spec_augment'}
     overrides = {k: v for k, v in ckpt_args.items()
                  if k in model_fields and v is not None}
+    if args.base_width:
+        overrides['base_width'] = args.base_width
     model = create_model(args.model, num_input_features=args.num_input_features,
                          num_classes=(args.num_classes,), frontend=frontend,
                          dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
@@ -63,6 +65,24 @@ def main(args):
         # T=6s dispatch 51 -> 38 ms through the tunnel)
         x = jnp.asarray((np.clip(np.asarray(x), -1.0, 1.0) * 32767.0)
                         .round().astype(np.int16))
+
+    if args.quantize == 'int8':
+        # serve the int8 PTQ graph (models/quantized.py, MXU 394-TOPS path);
+        # latency-wise this halves the compute share of the request so the
+        # mean approaches the bare tunnel dispatch+fetch floor. Calibration
+        # runs on the synthetic request distribution — scales do not affect
+        # timing, and the unary benchmark decodes nothing.
+        assert not args.onnx, '--quantize is for the live model path'
+        from ..models.quantized import quantize_for_inference, quantized_apply
+        calib = dict(x=np.asarray(rng.randn(args.B, T), np.float32) * 0.1,
+                     xlen=np.ones((args.B,), np.float32))
+        variables = jax.device_put(quantize_for_inference(
+            model, variables, [calib],
+            percentile=args.calibration_percentile))
+        apply_fn = lambda v, x, xlen: \
+            quantized_apply(model, v, x, xlen=xlen)['log_probs'][0]
+    else:
+        apply_fn = lambda v, x, xlen: model.apply(v, x, xlen=xlen)['log_probs'][0]
 
     if args.onnx:
         assert args.input_dtype == 'float32', \
@@ -88,7 +108,7 @@ def main(args):
         def fused(v, x, xlen):
             if x.dtype == jnp.int16:
                 x = x.astype(jnp.float32) / jnp.float32(32767.0)
-            lp = model.apply(v, x, xlen=xlen)['log_probs'][0]
+            lp = apply_fn(v, x, xlen)
             return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
                               jnp.max(lp, -1).astype(jnp.float32)], -1)  # (B, T', 2)
         fwd = jax.jit(fused)
@@ -96,11 +116,11 @@ def main(args):
         def plain(v, x, xlen):
             if x.dtype == jnp.int16:
                 x = x.astype(jnp.float32) / jnp.float32(32767.0)
-            return model.apply(v, x, xlen=xlen)['log_probs'][0]
+            return apply_fn(v, x, xlen)
         fwd = jax.jit(plain)
 
     if args.streaming:
-        return benchmark_streaming(args, model, variables)
+        return benchmark_streaming(args, model, variables, apply_fn)
 
     def serve_once():
         # host fetch = the end-to-end cost a serving process pays
@@ -175,7 +195,7 @@ def main(args):
     return lat
 
 
-def benchmark_streaming(args, model, variables):
+def benchmark_streaming(args, model, variables, apply_fn=None):
     """StreamingRecognize latency (VERDICT r2 #5): N concurrent real-time
     streams drive StreamingTranscriber over the fused fixed-window forward.
 
@@ -202,9 +222,12 @@ def benchmark_streaming(args, model, variables):
         def decode(self, tls):
             return ['.' * len(ts) for ts in tls]
 
+    if apply_fn is None:
+        apply_fn = lambda v, x, xlen: model.apply(v, x, xlen=xlen)['log_probs'][0]
+
     @jax.jit
     def _fused(v, x, xlen):
-        lp = model.apply(v, x, xlen=xlen)['log_probs'][0]
+        lp = apply_fn(v, x, xlen)
         return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
                           jnp.max(lp, -1).astype(jnp.float32)], -1)
 
@@ -337,6 +360,9 @@ def build_parser():
                              'of the live model (reference benchmarks ONNX '
                              'Runtime here, benchmark_online.py:64-86)')
     parser.add_argument('--model', default='JasperNetBig')
+    parser.add_argument('--base-width', type=int, default=None,
+                        help='channel-width override (tiny widths for CPU '
+                             'smoke runs; checkpoints carry their own)')
     parser.add_argument('--num-input-features', type=int, default=64)
     parser.add_argument('--num-classes', type=int, default=38)
     parser.add_argument('--sample-rate', type=int, default=8000)
@@ -367,6 +393,10 @@ def build_parser():
     parser.add_argument('--lookahead-sec', type=float, default=1.5,
                         help='interim hold-back; commit latency ~= this + '
                              'chunk + compute')
+    parser.add_argument('--quantize', default=None, choices=['int8'],
+                        help='benchmark the int8 PTQ graph (MXU 394-TOPS '
+                             'path, models/quantized.py) instead of bf16')
+    parser.add_argument('--calibration-percentile', type=float, default=100.0)
     parser.add_argument('--fused-decode', default=True,
                         type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
                         help='greedy argmax on device, one packed output buffer')

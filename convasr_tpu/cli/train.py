@@ -336,12 +336,14 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
             # (spec: --adapt-bn, train.py:182-186)
             from ..train.loop import make_bn_adapt_step, reset_bn_stats
             adapt = jax.jit(make_bn_adapt_step(model))
-            stats = reset_bn_stats(state.batch_stats)
-            for start in range(0, len(dataset), args.val_batch_size):
+            reset = reset_bn_stats(state.batch_stats)
+            stats = reset  # n=1 overwrites it: avg + (batch - avg)/1
+            for n, start in enumerate(
+                    range(0, len(dataset), args.val_batch_size), 1):
                 items = [dataset[i] for i in range(start, min(start + args.val_batch_size,
                                                               len(dataset)))]
                 _, b = to_device_batch(dataset.collate_fn(items))
-                stats = adapt(state.params, stats, b)
+                stats = adapt(state.params, reset, stats, jnp.float32(n), b)
             state = state.replace(batch_stats=stats)
         tic = time.time()
         analyze_jobs = []  # (hyp, ref, postprocess, detailed, extra)

@@ -208,15 +208,32 @@ def reset_bn_stats(batch_stats):
 
 
 def make_bn_adapt_step(model):
-    """One forward in train mode that only refreshes BN running stats
-    (spec: --adapt-bn, train.py:182-186)."""
-    def adapt_step(params, batch_stats, batch):
-        _, mutated = model.apply({'params': params, 'batch_stats': batch_stats},
-                                 undo_int16_transport(batch['x']),
-                                 xlen=batch['xlen'], training=True,
-                                 mutable=['batch_stats'],
-                                 rngs={'dropout': jax.random.PRNGKey(0)})
-        return mutated['batch_stats']
+    """Re-estimate BN running stats on one adaptation batch (--adapt-bn).
+
+    Reference semantics (train.py:182-186 + models.py:726-733): reset the
+    running stats, set `bn.momentum = None` — torch then keeps a CUMULATIVE
+    moving average over the adaptation batches — and leave everything but the
+    BN modules in eval mode (no dropout, no SpecAugment). Flax BatchNorm only
+    does EMA updates, so each batch's statistics are recovered by inverting
+    the EMA against the (fixed) reset stats, and the equal-weight cumulative
+    average over batches runs explicitly:
+
+        avg_n = avg_{n-1} + (batch_stats - avg_{n-1}) / n
+
+    `n` is 1-based and must be passed as a traced array (a python int would
+    retrace per batch)."""
+    from ..models.jasper import ConvBn
+    ema = 1.0 - ConvBn.batch_norm_momentum  # flax momentum of every model BN
+    adapt_model = model.clone(dropout=0, spec_augment=None)
+
+    def adapt_step(params, reset_stats, avg_stats, n, batch):
+        _, mutated = adapt_model.apply(
+            {'params': params, 'batch_stats': reset_stats},
+            undo_int16_transport(batch['x']), xlen=batch['xlen'],
+            training=True, mutable=['batch_stats'])
+        batch_stats = jax.tree.map(lambda mut, r: (mut - ema * r) / (1.0 - ema),
+                                   mutated['batch_stats'], reset_stats)
+        return jax.tree.map(lambda a, b: a + (b - a) / n, avg_stats, batch_stats)
     return adapt_step
 
 

@@ -1,0 +1,110 @@
+"""--adapt-bn evidence probe (VERDICT r2 missing #5).
+
+BatchNorm running stats memorize the TRAIN-domain activation distribution;
+on a domain-shifted val set (same tone-word grammar, different noise floor)
+frozen stats mis-normalize every layer. `--adapt-bn` re-estimates them on
+the val set before decoding (spec: reference train.py:182-186 +
+models.py:726-733 reset_bn_running_stats_), which should cut WER.
+
+Runs the REAL train CLI in eval-only mode (no --train-data-path) twice —
+with and without --adapt-bn — against a freshly synthesized shifted-noise
+val corpus, and reports both WERs. Pass --device axon (or omit for the
+session default, the real chip) for the on-chip evidence run; --device cpu
+for a local check.
+
+Usage:
+  python scripts/lm_wer_probe.py --tmp /tmp/lmwer_r3   # once, for the ckpt
+  python scripts/adapt_bn_probe.py --checkpoint /tmp/lmwer_r3/exp/lmwer/<ck>
+      [--val-noise 0.8] [--device cpu]
+
+Measured (2026-08-17, 600-iter tone-word checkpoint, train noise 0.4, val
+noise 0.8): REAL CHIP frozen-BN WER 13.33% -> adapted-BN 11.11%; CPU 13.89%
+-> 11.67%. Before the cumulative-average fix in train/loop.py the adapted
+stats stayed dominated by the zero/unit reset (flax EMA momentum 0.9) and
+scored 100% WER — pinned by test_train_integration.py::TestAdaptBn.
+"""
+import argparse
+import importlib.util
+import json
+import pathlib
+import re
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+spec = importlib.util.spec_from_file_location(
+    'lm_wer_probe', ROOT / 'scripts' / 'lm_wer_probe.py')
+probe = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(probe)
+
+
+def build_val(tmp, noise, n=60, seed=7):
+    # same grammar/tones as training, shifted noise floor; fresh seed so no
+    # utterance is shared with the training corpus
+    from convasr_tpu.audio import write_audio
+    rng = np.random.RandomState(seed)
+    entries = []
+    for i in range(n):
+        words = probe.sample_sentence(rng)
+        wave = probe.synth_sentence(rng, words, noise, edge_pad=0.3)
+        path = str(tmp / f'shift_{i}.wav')
+        write_audio(path, wave[None, :], probe.SR)
+        entries.append(dict(audio_path=path, ref=' '.join(words),
+                            begin=0.0, end=len(wave) / probe.SR))
+    val_json = str(tmp / 'val_shift.json')
+    json.dump(entries, open(val_json, 'w'), ensure_ascii=False)
+    return val_json
+
+
+def run_eval(args, val_json, adapt, tag):
+    cmd = [sys.executable, '-m', 'convasr_tpu.cli.train',
+           '--checkpoint', args.checkpoint,
+           '--val-data-path', val_json,
+           '--experiments-dir', str(pathlib.Path(args.tmp) / 'exp'),
+           '--experiment-id', f'adaptbn_{tag}',
+           '--model', 'JasperNetSmall', '--num-input-features', '16',
+           '--base-width', '8', '--val-batch-size', '20',
+           '--bf16', 'false', '--dither', '0', '--num-workers', '0',
+           '--batch-time-padding-multiple', '128',
+           '--text-config', str(ROOT / 'configs' / 'ru_text_config.json'),
+           '--val-config', str(ROOT / 'configs' / 'ru_val_config.json')]
+    if args.device:
+        cmd += ['--device', args.device]
+    if adapt:
+        cmd += ['--adapt-bn']
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=str(ROOT))
+    text = out.stdout + out.stderr
+    m = re.findall(r'WER: ([\d.]+)% CER: ([\d.]+)%', text)
+    assert m, f'no WER line in eval output:\n{text[-3000:]}'
+    wer, cer = float(m[-1][0]), float(m[-1][1])
+    print(f'adapt_bn={adapt}: WER {wer:.2f}% CER {cer:.2f}%')
+    return wer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--checkpoint', required=True)
+    ap.add_argument('--val-noise', type=float, default=0.8,
+                    help='shifted-domain noise floor (training used 0.4)')
+    ap.add_argument('--device', default=None)
+    ap.add_argument('--tmp', default='/tmp/adapt_bn_probe')
+    args = ap.parse_args()
+    tmp = pathlib.Path(args.tmp)
+    tmp.mkdir(parents=True, exist_ok=True)
+    import jax
+    if args.device == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
+    val_json = build_val(tmp, args.val_noise)
+    wer_off = run_eval(args, val_json, adapt=False, tag='off')
+    wer_on = run_eval(args, val_json, adapt=True, tag='on')
+    print(f'shifted-noise val (noise={args.val_noise}): '
+          f'frozen-BN WER {wer_off:.2f}% -> adapted-BN WER {wer_on:.2f}% '
+          f'({"improves" if wer_on < wer_off else "no gain"})')
+
+
+if __name__ == '__main__':
+    main()

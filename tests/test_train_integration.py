@@ -401,3 +401,47 @@ class TestInt16Transport:
                      jax.random.PRNGKey(1))
         np.testing.assert_allclose(float(m32['loss']), float(mm['loss']),
                                    rtol=0.05)
+
+
+class TestAdaptBn:
+    def test_adapt_recovers_cumulative_batch_statistics(self):
+        """--adapt-bn semantics (reference train.py:182-186 + models.py:726-733:
+        momentum=None -> torch keeps a CUMULATIVE average over the adaptation
+        batches): the adapted stats must equal the equal-weight average of the
+        true per-batch statistics — NOT an EMA from the reset values, which
+        stays dominated by the zero-mean/unit-var init after a few val batches
+        (the regression that scored 100% WER on the adapt-bn probe)."""
+        from convasr_tpu.models.jasper import ConvSamePadding
+        from convasr_tpu.train.loop import make_bn_adapt_step, reset_bn_stats
+
+        # dropout > 0 proves adaptation disables it: the adapt step passes no
+        # rngs, so an active nn.Dropout would raise a missing-rng error
+        model = tiny_model().clone(dropout=0.2)
+        batches = [synth_batch(np.random.RandomState(s), B=4, T=64)
+                   for s in range(3)]
+        variables = model.init(jax.random.PRNGKey(0), batches[0]['x'],
+                               xlen=batches[0]['xlen'])
+
+        adapt = jax.jit(make_bn_adapt_step(model))
+        reset = reset_bn_stats(variables['batch_stats'])
+        stats = reset
+        for n, b in enumerate(batches, 1):
+            stats = adapt(variables['params'], reset, stats, jnp.float32(n), b)
+
+        # oracle for block0/bn0: its input is block0/conv0's output, which is
+        # batch_stats-independent — capture it in eval mode and average the
+        # per-batch (biased, as flax computes them) statistics equally
+        means, variances = [], []
+        for b in batches:
+            _, inter = model.apply(
+                variables, b['x'], xlen=b['xlen'],
+                capture_intermediates=lambda mdl, _:
+                    isinstance(mdl, ConvSamePadding) and mdl.name == 'conv0')
+            (out,) = inter['intermediates']['block0']['conv0']['__call__']
+            out = np.asarray(out, np.float64).reshape(-1, out.shape[-1])
+            means.append(out.mean(0))
+            variances.append(out.var(0))
+        np.testing.assert_allclose(np.asarray(stats['block0']['bn0']['mean']),
+                                   np.mean(means, 0), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(stats['block0']['bn0']['var']),
+                                   np.mean(variances, 0), atol=1e-4)

@@ -25,8 +25,14 @@ def _frame_energy_vad(channel: np.ndarray, sample_rate: int, frame_len: int,
     n_frames = len(channel) // frame_len
     if n_frames == 0:
         return np.zeros(0, dtype=bool)
-    frames = channel[:n_frames * frame_len].reshape(n_frames, frame_len).astype(np.float64)
-    energy = 10 * np.log10(np.mean(frames * frames, axis=1) + 1e-12)
+    frames = channel[:n_frames * frame_len].reshape(n_frames, frame_len)
+    if frames.dtype != np.float32:
+        frames = frames.astype(np.float32)
+    # einsum: per-frame sum of squares without materializing frames**2
+    # (hour-scale audio: this loop is on the host critical path of the
+    # VAD-chunked long-audio pipeline)
+    sumsq = np.einsum('ij,ij->i', frames, frames, dtype=np.float64)
+    energy = 10 * np.log10(sumsq / frame_len + 1e-12)
     # noise floor: low percentile of frame energies; threshold scales with
     # aggressiveness (higher = stricter)
     floor = np.percentile(energy, 10)

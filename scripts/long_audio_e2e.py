@@ -62,6 +62,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--checkpoint', required=True)
     ap.add_argument('--duration', type=float, default=3600.0)
+    ap.add_argument('--count', type=int, default=1,
+                    help='number of distinct --duration-long files transcribed '
+                         'in ONE process: amortizes the per-process jax-init/'
+                         'remote-executable-install cost (measured 12 s..'
+                         'minutes through the tunnel), i.e. the steady-state '
+                         'RTF a warm service sees')
     ap.add_argument('--noise', type=float, default=0.4)
     ap.add_argument('--device', default=None)
     ap.add_argument('--lm', default=None)
@@ -74,21 +80,24 @@ def main():
 
     tmp = pathlib.Path(args.tmp)
     tmp.mkdir(parents=True, exist_ok=True)
-    wav = str(tmp / f'long_{int(args.duration)}s.wav')
-    ref_path = str(tmp / f'long_{int(args.duration)}s.ref.txt')
     import os
-    if not os.path.exists(wav) or not os.path.exists(ref_path):
-        tic = time.time()
-        ref = synth_long_audio(wav, args.duration, args.noise)
-        open(ref_path, 'w').write(ref)
-        print(f'synth {args.duration:.0f}s audio in {time.time() - tic:.1f}s '
-              f'({os.path.getsize(wav) / 1e6:.0f} MB)')
-    ref = open(ref_path).read()
+    wavs, refs = [], {}
+    for k in range(args.count):
+        wav = str(tmp / f'long_{int(args.duration)}s_{k}.wav')
+        ref_path = str(tmp / f'long_{int(args.duration)}s_{k}.ref.txt')
+        if not os.path.exists(wav) or not os.path.exists(ref_path):
+            tic = time.time()
+            ref = synth_long_audio(wav, args.duration, args.noise, seed=1 + k)
+            open(ref_path, 'w').write(ref)
+            print(f'synth {args.duration:.0f}s audio in {time.time() - tic:.1f}s '
+                  f'({os.path.getsize(wav) / 1e6:.0f} MB)')
+        wavs.append(wav)
+        refs[os.path.basename(wav)] = open(ref_path).read()
 
     from convasr_tpu.cli.transcribe import build_parser, main as transcribe_main
     out = str(tmp / 'out')
-    argv = ['--checkpoint', args.checkpoint, '-i', wav, '-o', out,
-            '--output-json', '--vad', str(args.vad), '--mono',
+    argv = ['--checkpoint', args.checkpoint, '-o', out, '-i'] + wavs \
+        + ['--output-json', '--vad', str(args.vad), '--mono',
             '--vad-merge-gap', '0.3', '--vad-expand', '0.1',
             '--max-segment-duration', str(args.max_segment_duration),
             '--text-config', str(ROOT / 'configs' / 'ru_text_config.json')]
@@ -104,18 +113,20 @@ def main():
     transcribe_main(targs)
     wall = time.time() - tic
 
-    outs = sorted(pathlib.Path(out).glob('*.json'))
-    segs = []
-    for f in outs:
-        j = json.load(open(f))
-        segs += j if isinstance(j, list) else [j]
-    segs.sort(key=lambda s: s.get('begin', 0.0))
-    hyp = ' '.join(s['hyp'] for s in segs if s.get('hyp'))
     from convasr_tpu.metrics import wer as wer_fn
-    w = wer_fn(hyp=hyp, ref=ref)
-    print(f'END-TO-END: {args.duration:.0f}s audio in {wall:.1f}s wall '
-          f'= RTF {args.duration / wall:.1f} | stitched WER {w:.3f} '
-          f'({len(segs)} segments)')
+    wers, n_segs = [], 0
+    for wav in wavs:
+        f = pathlib.Path(out) / (os.path.basename(wav) + '.json')
+        j = json.load(open(f))
+        segs = j if isinstance(j, list) else [j]
+        segs.sort(key=lambda s: s.get('begin', 0.0))
+        hyp = ' '.join(s['hyp'] for s in segs if s.get('hyp'))
+        wers.append(wer_fn(hyp=hyp, ref=refs[os.path.basename(wav)]))
+        n_segs += len(segs)
+    total_audio = args.duration * len(wavs)
+    print(f'END-TO-END: {len(wavs)} x {args.duration:.0f}s audio in '
+          f'{wall:.1f}s wall = RTF {total_audio / wall:.1f} | stitched WER '
+          f'{np.mean(wers):.3f} ({n_segs} segments)')
 
 
 if __name__ == '__main__':

@@ -73,12 +73,13 @@ def main(args):
         # runs on the synthetic request distribution — scales do not affect
         # timing, and the unary benchmark decodes nothing.
         assert not args.onnx, '--quantize is for the live model path'
-        from ..models.quantized import quantize_for_inference, quantized_apply
+        from ..models.quantized import quantize_cached, quantized_apply
         calib = dict(x=np.asarray(rng.randn(args.B, T), np.float32) * 0.1,
                      xlen=np.ones((args.B,), np.float32))
-        variables = jax.device_put(quantize_for_inference(
+        variables = jax.device_put(quantize_cached(
             model, variables, [calib],
-            percentile=args.calibration_percentile))
+            percentile=args.calibration_percentile,
+            cache_path=args.calibration_cache))
         apply_fn = lambda v, x, xlen: \
             quantized_apply(model, v, x, xlen=xlen)['log_probs'][0]
     else:
@@ -397,6 +398,9 @@ def build_parser():
                         help='benchmark the int8 PTQ graph (MXU 394-TOPS '
                              'path, models/quantized.py) instead of bf16')
     parser.add_argument('--calibration-percentile', type=float, default=100.0)
+    parser.add_argument('--calibration-cache', default=None,
+                        help='activation-scales .npz cache (see serve): skips '
+                             'the minutes-long calibration compile')
     parser.add_argument('--fused-decode', default=True,
                         type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
                         help='greedy argmax on device, one packed output buffer')

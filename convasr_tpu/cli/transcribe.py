@@ -123,10 +123,11 @@ def setup(args):
             return _forward_q(qstate['qtree'], x, xlen)
         return _forward(variables_dev, x, xlen)
 
-    def calibrate(batches, percentile=100.0):
-        from ..models.quantized import quantize_for_inference
+    def calibrate(batches, percentile=100.0, cache_path=None):
+        from ..models.quantized import quantize_cached
         qstate['qtree'] = jax.device_put(
-            quantize_for_inference(model, variables, batches, percentile))
+            quantize_cached(model, variables, batches, percentile,
+                            cache_path=cache_path))
 
     forward.calibrate = calibrate
 
@@ -275,7 +276,8 @@ def main(args, ext_json=('.json', '.json.gz')):
                 calib.append(dict(x=np.asarray(cx[:, 0, :]),
                                   xlen=np.asarray(cxlen)))
         tic = time.time()
-        forward.calibrate(calib, percentile=args.calibration_percentile)
+        forward.calibrate(calib, percentile=args.calibration_percentile,
+                          cache_path=args.calibration_cache)
         print(f'int8 PTQ: calibrated on {len(calib)} batch(es) '
               f'in {time.time() - tic:.1f} sec')
 
@@ -522,6 +524,12 @@ def build_parser():
     parser.add_argument('--calibration-batches', type=int, default=1,
                         help='number of leading input batches used for '
                              'activation-scale calibration (--quantize)')
+    parser.add_argument('--calibration-cache', default=None,
+                        help='activation-scales cache file (.npz): written '
+                             'after the first calibration, loaded instead of '
+                             'recalibrating (skips the minutes-long folded-'
+                             'graph compile at startup); valid only for the '
+                             'same checkpoint + calibration setup')
     parser.add_argument('--calibration-percentile', type=float, default=100.0,
                         help='|x| percentile for activation scales (100 = absmax)')
     parser.add_argument('--num-workers', type=int, default=0)

@@ -282,21 +282,52 @@ def folded_apply(model, variables, x, xlen=None):
 
 def calibrate(model, variables, batches, percentile=100.0, layers=None):
     """Run the folded f32 graph over calibration batches, return
-    {tensor_name: absmax-or-percentile} as float32 numpy scalars."""
+    {tensor_name: absmax-or-percentile} as float32 numpy scalars.
+
+    The per-batch stats collection runs as ONE jitted program (an eager
+    sweep of the full folded JasperNetBig took ~6 min per batch on a slow
+    host core — a serving-startup cost); batches of the same shape reuse
+    the compiled program, and the cross-batch max-reduce runs on the host."""
     layers = layers if layers is not None else build_folded_layers(model, variables)
-    rec = _Recorder(percentile)
+
+    @jax.jit
+    def batch_stats(layers, variables, x, xlen):
+        rec = _Recorder(percentile)
+        _forward(model, layers, x, xlen, recorder=rec, variables=variables)
+        return rec.stats
+
+    stats = {}
     for batch in batches:
         x, xlen = (batch['x'], batch.get('xlen')) if isinstance(batch, dict) else batch
-        _forward(model, layers, jnp.asarray(x), xlen if xlen is None else jnp.asarray(xlen),
-                 recorder=rec, variables=variables)
-    return {k: np.float32(v) for k, v in rec.stats.items()}
+        s = jax.device_get(batch_stats(
+            layers, variables, jnp.asarray(x),
+            xlen if xlen is None else jnp.asarray(xlen)))
+        for k, v in s.items():
+            stats[k] = max(stats.get(k, 0.0), float(v))
+    return {k: np.float32(v) for k, v in stats.items()}
 
 
-def quantize(model, variables, batches, percentile=100.0):
+def save_act_scales(path, act_scales):
+    """Persist calibrated activation scales (tiny: ~34 float32 scalars).
+    Calibration runs the full folded graph — one compile per batch shape,
+    which through the tunneled device costs MINUTES of remote-executable
+    install per process (measured 305 s warm-cache) — so ship the scales
+    with the checkpoint and pay it once per deployment."""
+    np.savez(path, **{k: np.float32(v) for k, v in act_scales.items()})
+
+
+def load_act_scales(path):
+    with np.load(path) as z:
+        return {k: np.float32(z[k]) for k in z.files}
+
+
+def quantize(model, variables, batches, percentile=100.0, act_scales=None):
     """PTQ: fold BN, quantize weights per-channel, calibrate activations.
-    Returns a jit-friendly pytree to pass to quantized_apply."""
+    Returns a jit-friendly pytree to pass to quantized_apply. Pass
+    `act_scales` (from load_act_scales) to skip calibration entirely."""
     layers = build_folded_layers(model, variables)
-    stats = calibrate(model, variables, batches, percentile, layers=layers)
+    stats = None if act_scales is not None else \
+        calibrate(model, variables, batches, percentile, layers=layers)
     qlayers = {}
     for name, L in layers.items():
         if '.dw' in name:          # depthwise halves stay float
@@ -305,26 +336,45 @@ def quantize(model, variables, batches, percentile=100.0):
             wq, sw = _quantize_weight(L['w'])
             entry = dict(wq=wq, sw=sw, b=L['b'])
         qlayers[name] = entry
-    act_scales = {k: np.float32(max(float(v), 1e-12) / 127.0) for k, v in stats.items()}
-    qtree = dict(layers=qlayers, act_scales=act_scales)
+    if act_scales is None:
+        act_scales = {k: np.float32(max(float(v), 1e-12) / 127.0)
+                      for k, v in stats.items()}
+    qtree = dict(layers=qlayers, act_scales=dict(act_scales))
     if 'frontend' in variables.get('params', {}):
         qtree['frontend_params'] = variables['params']['frontend']
     return qtree
 
 
 def quantize_for_inference(model, variables, batches, percentile=100.0):
-    """CLI entry: PTQ with calibration pinned to the HOST CPU backend.
+    """CLI entry: PTQ calibration on the SESSION device.
 
-    The folded-graph calibration runs eagerly (one jnp op at a time); on the
-    tunneled remote device that is a dispatch roundtrip per op (CLAUDE.md),
-    so calibration always runs on the CPU backend regardless of the session
-    device. Pass `batches` as numpy (x: (B, T) signal or (B, T, C) features,
-    matching what the model's forward accepts).
+    Calibration is one jitted program per batch shape (see calibrate), so on
+    the tunneled remote device it costs one dispatch + a ~34-scalar fetch per
+    batch — milliseconds of device compute after the one-time compile. (It
+    used to run eagerly pinned to the host CPU; XLA:CPU executes the folded
+    NWC convs naively, which took 3-6 MINUTES per JasperNetBig batch on a
+    1-core host — a serving-startup tax.) Pass `batches` as numpy (x: (B, T)
+    signal or (B, T, C) features, matching what the model's forward accepts).
     """
-    cpu = jax.devices('cpu')[0]
     variables = jax.tree.map(np.asarray, variables)  # pull off-device once
-    with jax.default_device(cpu):
-        return quantize(model, variables, batches, percentile)
+    return quantize(model, variables, batches, percentile)
+
+
+def quantize_cached(model, variables, batches, percentile=100.0,
+                    cache_path=None):
+    """quantize_for_inference with an on-disk activation-scales cache: if
+    `cache_path` exists, calibration is skipped (startup in seconds); else
+    calibrate and write it. The cache is only valid for the same checkpoint
+    + calibration setup — delete it to recalibrate."""
+    import os
+    if cache_path and os.path.exists(cache_path):
+        variables = jax.tree.map(np.asarray, variables)
+        return quantize(model, variables, batches, percentile,
+                        act_scales=load_act_scales(cache_path))
+    qtree = quantize_for_inference(model, variables, batches, percentile)
+    if cache_path:
+        save_act_scales(cache_path, qtree['act_scales'])
+    return qtree
 
 
 def quantized_apply(model, qtree, x, xlen=None):

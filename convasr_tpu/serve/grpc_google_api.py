@@ -298,7 +298,8 @@ def main(args):
                                   xlen=np.asarray(cxlen)))
         import time as _time
         tic = _time.time()
-        forward.calibrate(calib, percentile=args.calibration_percentile)
+        forward.calibrate(calib, percentile=args.calibration_percentile,
+                          cache_path=args.calibration_cache)
         print(f'int8 PTQ: calibrated on {len(calib)} batch(es) in '
               f'{_time.time() - tic:.1f} sec')
     batcher = None
@@ -381,6 +382,10 @@ def build_parser():
                              'calibration at startup')
     parser.add_argument('--calibration-batches', type=int, default=4)
     parser.add_argument('--calibration-percentile', type=float, default=100.0)
+    parser.add_argument('--calibration-cache', default=None,
+                        help='activation-scales .npz cache: calibrate once, '
+                             'then every restart loads it (seconds instead '
+                             'of the minutes-long calibration compile)')
     return parser
 
 

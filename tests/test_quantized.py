@@ -96,3 +96,35 @@ def test_calibration_batches_widen_scales():
                     [dict(x=x, xlen=xlen), dict(x=5.0 * x, xlen=xlen)])['act_scales']
     assert all(s2[k] >= s1[k] - 1e-12 for k in s1)
     assert any(s2[k] > s1[k] for k in s1)
+
+
+def test_act_scales_cache_roundtrip(tmp_path):
+    """save/load_act_scales + quantize(act_scales=...) must reproduce the
+    calibrated qtree bit-for-bit — the --calibration-cache contract that lets
+    serving restarts skip the minutes-long calibration compile."""
+    model, variables, x, xlen = build('JasperNetBig')
+    calibrated = q.quantize(model, variables, [dict(x=x, xlen=xlen)])
+    path = str(tmp_path / 'scales.npz')
+    q.save_act_scales(path, calibrated['act_scales'])
+    cached = q.quantize(model, variables, batches=None,
+                        act_scales=q.load_act_scales(path))
+    assert set(cached['act_scales']) == set(calibrated['act_scales'])
+    for k in calibrated['act_scales']:
+        assert cached['act_scales'][k] == calibrated['act_scales'][k], k
+    a = q.quantized_apply(model, calibrated, x, xlen=xlen)['log_probs'][0]
+    b = q.quantized_apply(model, cached, x, xlen=xlen)['log_probs'][0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quantize_cached_writes_and_reads(tmp_path):
+    """quantize_cached: first call calibrates + writes the cache, second call
+    loads it (batches unused) and matches."""
+    model, variables, x, xlen = build('JasperNetBig')
+    path = str(tmp_path / 'scales.npz')
+    first = q.quantize_cached(model, variables, [dict(x=x, xlen=xlen)],
+                              cache_path=path)
+    import os
+    assert os.path.exists(path)
+    second = q.quantize_cached(model, variables, batches=None, cache_path=path)
+    for k in first['act_scales']:
+        assert second['act_scales'][k] == first['act_scales'][k], k

@@ -94,6 +94,13 @@ def main(args):
         from jax import export as jax_export
         with open(args.onnx, 'rb') as f:
             exported = jax_export.deserialize(bytearray(f.read()))
+        import os
+        if os.path.exists(args.onnx + '.qtree.npz'):
+            # int8 PTQ artifact (cli/export.py --quantize int8): its first
+            # argument is the quantized-weights tree from the sidecar
+            from ..models.quantized import load_qtree
+            print('loading int8 qtree sidecar', args.onnx + '.qtree.npz')
+            variables = jax.device_put(load_qtree(args.onnx + '.qtree.npz'))
         B_exp, T_exp = exported.in_avals[-2].shape
         if (args.B, x.shape[1]) != (B_exp, T_exp):
             print(f'artifact expects batch [{B_exp}, {T_exp}]; padding requests')

@@ -66,6 +66,46 @@ def export_model(model, variables, example_x, example_xlen, output_path: str):
     return output_path
 
 
+def export_quantized(model, variables, batches, example_x, example_xlen,
+                     output_path: str, percentile: float = 100.0,
+                     cache_path: str = None):
+    """Serialize the int8 PTQ graph (models/quantized.py) to a StableHLO
+    artifact + a `<output>.qtree.npz` sidecar holding the quantized weights/
+    scales. The artifact's first argument is the qtree, so runtimes load the
+    sidecar and call(qtree, x, xlen); benchmark_online --onnx picks the
+    sidecar up automatically."""
+    from jax import export as jax_export
+    from ..models.quantized import quantize_cached, quantized_apply, save_qtree
+
+    qtree = quantize_cached(model, variables, batches, percentile,
+                            cache_path=cache_path)
+
+    def forward(qtree, x, xlen):
+        out = quantized_apply(model, qtree, x, xlen=xlen)
+        return out['logits'][0], out['olen'][0]
+
+    exported = jax_export.export(jax.jit(forward))(qtree, example_x, example_xlen)
+    with open(output_path, 'wb') as f:
+        f.write(exported.serialize())
+    save_qtree(output_path + '.qtree.npz', qtree)
+    return output_path, qtree
+
+
+def validate_quantized_export(model, example_x, example_xlen, export_path: str):
+    """Artifact(qtree sidecar) output must match the live quantized graph."""
+    from jax import export as jax_export
+    from ..models.quantized import load_qtree, quantized_apply
+    with open(export_path, 'rb') as f:
+        exported = jax_export.deserialize(bytearray(f.read()))
+    qtree = load_qtree(export_path + '.qtree.npz')
+    live = quantized_apply(model, qtree, example_x, xlen=example_xlen)['logits'][0]
+    art, _ = exported.call(qtree, example_x, example_xlen)
+    np.testing.assert_allclose(np.asarray(art, np.float32),
+                               np.asarray(live, np.float32),
+                               rtol=1e-4, atol=1e-4)
+    return True
+
+
 def validate_export(model, variables, example_x, example_xlen, export_path: str,
                     fp16: bool = False):
     """Run the serialized artifact and assert logits parity (tolerances:
@@ -83,6 +123,9 @@ def validate_export(model, variables, example_x, example_xlen, export_path: str,
 
 
 def main(args):
+    from ..infra.utils import enable_compilation_cache, select_device
+    select_device(getattr(args, 'device', None))
+    enable_compilation_cache()
     from ..cli.transcribe import load_any_checkpoint
     from ..frontend.logmel import LogFilterBankFrontend
     from ..models.zoo import create_model
@@ -111,6 +154,32 @@ def main(args):
     T = int(args.T * sample_rate)
     x = jnp.zeros((args.B, T), jnp.float32)
     xlen = jnp.ones((args.B,), jnp.float32)
+    if args.quantize == 'int8':
+        import os
+        batches = None
+        if args.calibration_data:
+            from ..data.dataset import AudioTextDataset
+            dataset = AudioTextDataset([args.calibration_data], [pipeline],
+                                       sample_rate, frontend=None,
+                                       mode='batched_transcript')
+            batches = []
+            for k in range(min(args.calibration_batches, len(dataset))):
+                _, _, cx, cxlen, _, _ = dataset.collate_fn(dataset[k])
+                if cx.size:
+                    batches.append(dict(x=np.asarray(cx[:, 0, :]),
+                                        xlen=np.asarray(cxlen)))
+        else:
+            assert args.calibration_cache and os.path.exists(args.calibration_cache), \
+                '--quantize int8 needs --calibration-data or an existing --calibration-cache'
+        path, _ = export_quantized(model, variables, batches, x, xlen,
+                                   args.output_path,
+                                   percentile=args.calibration_percentile,
+                                   cache_path=args.calibration_cache)
+        print('exported int8 artifact to', path, '+ sidecar', path + '.qtree.npz')
+        if args.validate:
+            validate_quantized_export(model, x, xlen, path)
+            print('parity check passed')
+        return
     path = export_model(model, variables, x, xlen, args.output_path)
     print('exported to', path)
     if args.validate:
@@ -122,6 +191,9 @@ def build_parser():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('--checkpoint', required=True)
     parser.add_argument('--output-path', '-o', required=True)
+    parser.add_argument('--device', default=None, choices=['cpu', 'tpu', 'axon'],
+                        help='lowering platform of the artifact (artifacts '
+                             'execute on the platform they were exported for)')
     parser.add_argument('--model', default='JasperNetBig')
     parser.add_argument('--sample-rate', type=int, default=8000)
     parser.add_argument('--num-input-features', type=int, default=64)
@@ -132,6 +204,15 @@ def build_parser():
                         type=lambda v: str(v).lower() in ('1', 'true', 'yes'))
     parser.add_argument('--fuse-bn', action='store_true')
     parser.add_argument('--validate', action='store_true')
+    parser.add_argument('--quantize', default=None, choices=['int8'],
+                        help='export the int8 PTQ graph + .qtree.npz sidecar '
+                             '(models/quantized.py)')
+    parser.add_argument('--calibration-data', default=None,
+                        help='transcript json for PTQ activation calibration')
+    parser.add_argument('--calibration-batches', type=int, default=4)
+    parser.add_argument('--calibration-percentile', type=float, default=100.0)
+    parser.add_argument('--calibration-cache', default=None,
+                        help='activation-scales .npz cache (see serve)')
     return parser
 
 

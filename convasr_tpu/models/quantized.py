@@ -377,6 +377,28 @@ def quantize_cached(model, variables, batches, percentile=100.0,
     return qtree
 
 
+def save_qtree(path, qtree):
+    """Persist a full quantized-inference tree (int8 weights, per-channel
+    weight scales, biases, activation scales, optional frontend params) as
+    one flat .npz — the sidecar of an int8 StableHLO export artifact."""
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(qtree)[0]:
+        key = '/'.join(str(getattr(k, 'key', k)) for k in kp)
+        flat[key] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def load_qtree(path):
+    out = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node, parts = out, key.split('/')
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    return out
+
+
 def quantized_apply(model, qtree, x, xlen=None):
     """int8 inference forward. `qtree` from quantize(); jit over (x, xlen)
     with qtree as an ARGUMENT (never closed over — CLAUDE.md HTTP 413)."""

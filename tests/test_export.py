@@ -51,3 +51,29 @@ class TestStableHLOExport:
         path = str(tmp_path / 'model.stablehlo')
         export_model(model, variables, x, xlen, path)
         assert validate_export(model, variables, x, xlen, path)
+
+
+class TestInt8Export:
+    def test_quantized_export_roundtrip(self, model_and_vars, tmp_path):
+        """int8 PTQ artifact + .qtree.npz sidecar (cli/export.py --quantize
+        int8): the deserialized artifact fed the reloaded sidecar must match
+        the live quantized graph exactly."""
+        from convasr_tpu.cli.export import (export_quantized,
+                                            validate_quantized_export)
+        from convasr_tpu.models.quantized import load_qtree, save_qtree
+
+        model, variables, x = model_and_vars
+        xlen = jnp.ones((2,), jnp.float32)
+        path = str(tmp_path / 'model_int8.stablehlo')
+        _, qtree = export_quantized(model, variables,
+                                    [dict(x=np.asarray(x),
+                                          xlen=np.asarray(xlen))], x, xlen, path)
+        assert validate_quantized_export(model, x, xlen, path)
+        # sidecar roundtrip preserves every leaf bit-for-bit (incl. int8)
+        reloaded = load_qtree(path + '.qtree.npz')
+        flat_a = jax.tree_util.tree_flatten_with_path(qtree)[0]
+        flat_b = dict(jax.tree_util.tree_flatten_with_path(reloaded)[0])
+        for kp, leaf in flat_a:
+            other = flat_b[kp]
+            assert np.asarray(other).dtype == np.asarray(leaf).dtype, kp
+            np.testing.assert_array_equal(np.asarray(other), np.asarray(leaf))

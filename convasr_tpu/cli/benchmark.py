@@ -52,6 +52,8 @@ def main(args):
            'bn_axis_name', 'decoder_type', 'spec_augment'}
     overrides = {k: v for k, v in ckpt_args.items()
                  if k in model_fields and v is not None}
+    if args.base_width:
+        overrides['base_width'] = args.base_width
     model = create_model(args.model, num_input_features=args.num_input_features,
                          num_classes=(args.num_classes,), frontend=frontend,
                          dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
@@ -99,12 +101,14 @@ def main(args):
         # int8 PTQ (models/quantized.py): BN-folded weights per-channel int8,
         # activations per-tensor int8 calibrated on the benchmark batch; convs
         # run int8 x int8 -> int32 on the MXU's 394-TOPS path (2x bf16 peak)
-        from ..models.quantized import quantize_for_inference, quantized_apply
-        # a 16-row slice is plenty for absmax stats (calibration runs eagerly
-        # on the host CPU backend — full B would take minutes for nothing)
+        from ..models.quantized import quantize_cached, quantized_apply
+        # a 16-row slice is plenty for absmax stats; --calibration-cache
+        # skips the calibration-program compile on repeat grid runs
         calib = dict(x=np.asarray(x)[:16], xlen=np.asarray(xlen)[:16])
         tic = time.time()
-        qtree = jax.device_put(quantize_for_inference(model, variables, [calib]))
+        qtree = jax.device_put(quantize_cached(
+            model, variables, [calib],
+            cache_path=getattr(args, 'calibration_cache', None)))
         print(f'int8 PTQ calibration done in {time.time() - tic:.1f} sec')
 
     if args.stablehlo:
@@ -252,6 +256,12 @@ def build_parser():
     parser.add_argument('--quantize', choices=['int8'], default=None,
                         help='int8 PTQ inference (models/quantized.py): MXU '
                              'int8 path, calibrated on the benchmark batch')
+    parser.add_argument('--calibration-cache', default=None,
+                        help='activation-scales .npz cache (see serve): '
+                             'repeat grid runs skip the calibration compile')
+    parser.add_argument('--base-width', type=int, default=None,
+                        help='channel-width override (tiny widths for CPU '
+                             'smoke runs; checkpoints carry their own)')
     parser.add_argument('--stablehlo', '--onnx', dest='stablehlo',
                         help='benchmark a serialized StableHLO export artifact '
                              '(the reference benchmarks ONNX here)')

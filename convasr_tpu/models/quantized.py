@@ -371,6 +371,8 @@ def quantize_cached(model, variables, batches, percentile=100.0,
         variables = jax.tree.map(np.asarray, variables)
         return quantize(model, variables, batches, percentile,
                         act_scales=load_act_scales(cache_path))
+    assert batches is not None, \
+        f'no calibration batches and no existing scales cache ({cache_path})'
     qtree = quantize_for_inference(model, variables, batches, percentile)
     if cache_path:
         save_act_scales(cache_path, qtree['act_scales'])

@@ -255,10 +255,20 @@ def benchmark_streaming(args, model, variables, apply_fn=None):
         # (serve/streaming_batch.py) vs one fused dispatch per stream
         from ..serve.streaming_batch import BatchedStreamingEngine
 
+        # fused single-dispatch tick: ring + forward + argmax + uint8 tail
+        # fetch in ONE program (1 dispatch/tick instead of 2, ~10x smaller
+        # fetch); 'legacy' keeps the 2-dispatch full-window path for A/B
+        provider = None
+        if args.streaming_dispatch == 'fused':
+            provider = lambda: (apply_fn, (lambda: variables))
+
         def make_engine():
-            eng = BatchedStreamingEngine(fused, sr, n_slots=args.streams,
-                                         window_sec=args.window_sec,
-                                         chunk_sec=args.chunk_sec)
+            eng = BatchedStreamingEngine(
+                fused, sr, n_slots=args.streams,
+                window_sec=args.window_sec, chunk_sec=args.chunk_sec,
+                logprobs_provider=provider,
+                transport=args.streaming_transport,
+                max_lookahead_sec=max(2.0, args.lookahead_sec))
             return eng, [eng.open(_Tok(), lookahead_sec=args.lookahead_sec)
                          for _ in range(args.streams)]
 
@@ -394,6 +404,15 @@ def build_parser():
                              'chunk; batched: shared (N, W) device ring '
                              'buffer, 2 dispatches/tick total '
                              '(serve/streaming_batch.py)')
+    parser.add_argument('--streaming-dispatch', default='fused',
+                        choices=['fused', 'legacy'],
+                        help='batched engine tick: fused = ONE dispatch '
+                             '(ring+forward+argmax+uint8 tail fetch); '
+                             'legacy = 2 dispatches + full-window fetch')
+    parser.add_argument('--streaming-transport', default='int16',
+                        choices=['int16', 'mulaw'],
+                        help='chunk bytes on the wire (fused tick): int16 '
+                             'PCM or mu-law uint8 (quarter the f32 bytes)')
     parser.add_argument('--chunk-sec', type=float, default=0.32,
                         help='audio chunk per stream per tick (--streaming)')
     parser.add_argument('--window-sec', type=float, default=10.0,

@@ -182,6 +182,23 @@ def setup(args):
 
     forward.fused_i16 = fused_i16
 
+    # batched-streaming fused tick (serve/streaming_batch.py): the engine
+    # traces apply_fn INSIDE its single-dispatch tick jit; weights resolved
+    # per call so --quantize int8 calibration (which fills qstate) is honored
+    def _lp(variables, x, xlen):
+        return model.apply(variables, x, xlen=xlen)['log_probs'][0]
+
+    def _lp_q(qtree, x, xlen):
+        from ..models.quantized import quantized_apply
+        return quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][0]
+
+    def stream_logprobs():
+        if qstate:
+            return _lp_q, (lambda: qstate['qtree'])
+        return _lp, (lambda: variables_dev)
+
+    forward.stream_logprobs = stream_logprobs
+
     generator = GreedyCTCGenerator(blank_amount_to_space=args.replace_blank_series)
     # NOTE: the reference parses the beam flags but transcribe.py never
     # instantiates the decoder (transcribe.py:323-328 vs main); here the beam
@@ -213,6 +230,22 @@ def main(args, ext_json=('.json', '.json.gz')):
 
     text_pipeline, frontend, model, forward, generator, decoder = setup(args)
 
+    # --profile-phases: cumulative wall seconds per pipeline phase. Worker-
+    # thread phases (getitem/collate/dispatch) OVERLAP the consumer phases
+    # (fetch/decode/outputs) under the one-ahead pipeline, so the sum can
+    # exceed the wall clock; the per-phase totals show which side binds.
+    import collections
+    phases = collections.defaultdict(float)
+    profile = getattr(args, 'profile_phases', False)
+
+    def _timed(name, fn, *a, **kw):
+        if not profile:
+            return fn(*a, **kw)
+        t0 = time.time()
+        r = fn(*a, **kw)
+        phases[name] += time.time() - t0
+        return r
+
     if args.vad is not None:
         # VAD-chunked long-audio pipeline: segment each audio file by speech
         # activity, write a synthetic transcript json, and feed the segments
@@ -234,10 +267,12 @@ def main(args, ext_json=('.json', '.json.gz')):
             if not any(path.endswith(e) for e in args.ext):
                 chunked_paths.append(path)
                 continue
-            signal, sr = audio_io.read_audio(path, sample_rate=args.sample_rate, mono=True)
-            mask = detect_speech(signal, sr, window_size=0.02, aggressiveness=args.vad,
-                                 window_size_dilate=args.window_size_dilate,
-                                 backend=args.vad_backend, neural_model=neural_model)
+            signal, sr = _timed('vad_read', audio_io.read_audio, path,
+                                sample_rate=args.sample_rate, mono=True)
+            mask = _timed('vad_detect', detect_speech,
+                          signal, sr, window_size=0.02, aggressiveness=args.vad,
+                          window_size_dilate=args.window_size_dilate,
+                          backend=args.vad_backend, neural_model=neural_model)
             segments = postprocess_batching(
                 postprocess_cut(mask_to_segments(mask[0], sr),
                                 merge_gap=args.vad_merge_gap,
@@ -282,8 +317,8 @@ def main(args, ext_json=('.json', '.json.gz')):
               f'in {time.time() - tic:.1f} sec')
 
     from ..data.loader import prefetch_map
-    items = prefetch_map(dataset.__getitem__, range(len(dataset)),
-                         num_workers=args.num_workers)
+    items = prefetch_map(lambda i: _timed('getitem', dataset.__getitem__, i),
+                         range(len(dataset)), num_workers=args.num_workers)
 
     # fused-path software pipeline: collate + host->device upload + async
     # dispatch happen ONE item ahead (ordered single-worker lookahead), so
@@ -292,19 +327,20 @@ def main(args, ext_json=('.json', '.json.gz')):
     # end-to-end cost (CLAUDE.md: 8-120 MB/s link) — overlapping it with
     # the host tail roughly doubles sustained CLI throughput.
     def collate_and_dispatch(item):
-        collated = dataset.collate_fn(item)
+        collated = _timed('collate', dataset.collate_fn, item)
         _, _, x, xlen, _, _ = collated
         fused_ok = (decoder is None and not args.align and not args.logits
                     and getattr(forward, 'fused', None) is not None)
         dev = None
         if x.size and fused_ok:
             try:
-                if args.device_transport == 'int16':
-                    xi = (np.clip(x[:, 0, :], -1.0, 1.0) * 32767.0) \
-                        .round().astype(np.int16)
-                    dev = forward.fused_i16(jnp.asarray(xi), jnp.asarray(xlen))
-                else:
-                    dev = forward.fused(jnp.asarray(x[:, 0, :]), jnp.asarray(xlen))
+                def dispatch():
+                    if args.device_transport == 'int16':
+                        xi = (np.clip(x[:, 0, :], -1.0, 1.0) * 32767.0) \
+                            .round().astype(np.int16)
+                        return forward.fused_i16(jnp.asarray(xi), jnp.asarray(xlen))
+                    return forward.fused(jnp.asarray(x[:, 0, :]), jnp.asarray(xlen))
+                dev = _timed('dispatch', dispatch)
             except Exception as e:  # surfaced (and possibly skipped) at fetch
                 dev = e
         return collated, dev
@@ -339,7 +375,7 @@ def main(args, ext_json=('.json', '.json.gz')):
             if packed_dev is not None:
                 # fused greedy path, dispatched one item ahead (see
                 # collate_and_dispatch): ONE small packed fetch
-                packed = np.asarray(packed_dev)
+                packed = _timed('fetch', np.asarray, packed_dev)
                 most_probable_idx = packed[..., 0].astype(np.int64)
                 n_frames = packed.shape[1]
                 olen = np.ceil(np.asarray(xlen, np.float64) * n_frames).astype(np.int64)
@@ -380,7 +416,8 @@ def main(args, ext_json=('.json', '.json.gz')):
                 hyp_segments.append([transcripts.Segment(
                     begin=float(begin[k]), end=float(end[k]), hyp=text, **extra[k])])
         else:
-            hyp_segments = [alts[0] for alts in generator.generate(
+            hyp_segments = [alts[0] for alts in _timed(
+                'decode_host', generator.generate,
                 tokenizer=text_pipeline.tokenizer, log_probs=log_probs, begin=begin,
                 end=end, output_lengths=olen, time_stamps=ts, segment_text_key='hyp',
                 segment_extra_info=extra, most_probable_idx=most_probable_idx)]
@@ -456,8 +493,9 @@ def main(args, ext_json=('.json', '.json.gz')):
         print('Filtered segments:', len(filtered), 'of', len(transcript))
 
         if args.output_json:
-            print(transcripts.save(os.path.join(args.output_path, audio_name + '.json'),
-                                   filtered))
+            print(_timed('outputs', transcripts.save,
+                         os.path.join(args.output_path, audio_name + '.json'),
+                         filtered))
         if args.output_html:
             print(vis.transcript(os.path.join(args.output_path, audio_name + '.html'),
                                  args.sample_rate, args.mono, transcript, filtered))
@@ -498,6 +536,13 @@ def main(args, ext_json=('.json', '.json.gz')):
             f.write('\n'.join(csv_lines))
         print(path)
 
+    if profile:
+        acc = sum(phases.values())
+        print('PHASES: ' + ' | '.join(
+            f'{k} {v:.1f}s' for k, v in
+            sorted(phases.items(), key=lambda kv: -kv[1]))
+            + f' | accounted {acc:.1f}s (worker phases overlap consumer ones)')
+
 
 def build_parser():
     parser = argparse.ArgumentParser(description=__doc__)
@@ -533,6 +578,10 @@ def build_parser():
     parser.add_argument('--calibration-percentile', type=float, default=100.0,
                         help='|x| percentile for activation scales (100 = absmax)')
     parser.add_argument('--num-workers', type=int, default=0)
+    parser.add_argument('--profile-phases', action='store_true',
+                        help='print cumulative per-phase wall seconds '
+                             '(vad_read/vad_detect/getitem/collate/dispatch/'
+                             'fetch/decode_host/outputs) at exit')
     parser.add_argument('--mono', action='store_true')
     parser.add_argument('--audio-backend', default=None, choices=[None, 'sox', 'ffmpeg'])
     parser.add_argument('--decoder', default='GreedyDecoder',

@@ -320,7 +320,11 @@ def main(args):
         stream_engine = BatchedStreamingEngine(
             forward.fused, frontend.sample_rate, n_slots=args.streaming_slots,
             window_sec=args.streaming_window_sec,
-            chunk_sec=args.streaming_chunk_sec)
+            chunk_sec=args.streaming_chunk_sec,
+            # fused single-dispatch tick + uint8 tail fetch (streaming_batch)
+            logprobs_provider=getattr(forward, 'stream_logprobs', None),
+            transport=args.streaming_transport,
+            max_lookahead_sec=args.streaming_max_lookahead_sec)
         EngineTicker(stream_engine).start()
     servicer = SpeechServicer(text_pipeline, frontend, forward, generator,
                               decoder=decoder, batcher=batcher,
@@ -374,6 +378,15 @@ def build_parser():
                              'per-stream dispatch)')
     parser.add_argument('--streaming-window-sec', type=float, default=10.0)
     parser.add_argument('--streaming-chunk-sec', type=float, default=0.32)
+    parser.add_argument('--streaming-transport', default='int16',
+                        choices=['int16', 'mulaw'],
+                        help='chunk bytes on the host->device link: int16 '
+                             'PCM (bit-exact) or mu-law uint8 (quarter the '
+                             'float32 bytes, ~38 dB SNR)')
+    parser.add_argument('--streaming-max-lookahead-sec', type=float,
+                        default=2.0,
+                        help='largest per-session lookahead the fused tick '
+                             'supports (bounds the uint8 tail fetch)')
     parser.add_argument('--quantize', default=None, choices=['int8'],
                         help='serve the int8 PTQ graph (MXU 394-TOPS path, '
                              'models/quantized.py); needs --calibration-data')

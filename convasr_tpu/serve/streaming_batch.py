@@ -15,18 +15,30 @@ host->device traffic drops ~128x, so capacity is set by model compute
 The reference has no streaming path at all (serve_google_api.py:26-59 is
 unary-only); this engine is beyond-reference capability.
 
+Fused single-dispatch tick (round 3): when built with `logprobs_provider`
+the ring advance, the forward, the greedy argmax, and a tail slice run as
+ONE jitted program — 1 dispatch/tick instead of 2 (each dispatch costs
+~26-31 ms through the tunnel), and the fetch shrinks from the full-window
+packed (N, frames, 2) float32 to a (N, tail) uint8 of argmax ids covering
+only the frames `_emit` can still use (committed frames never reach back
+more than lookahead + chunk behind the window end). The chunk upload rides
+the wire as int16 (half the float32 bytes) or mu-law uint8 (quarter).
+
 Determinism: `tick()` is synchronous and thread-free — the gRPC servicer
 drives it from a ticker thread, tests/benchmarks call it directly. Sessions
 reuse the exact commit/interim logic of StreamingTranscriber (`_emit`), so
 batched committed text == per-stream committed text == offline decode
 (equality-tested in tests/test_streaming_batch.py).
 """
+import functools
 import threading
 import typing
 
 import numpy as np
 
 from .streaming import StreamingTranscriber
+
+MULAW_MU = 255.0  # G.711 mu; must match train/loop.py undo_int16_transport
 
 
 class BatchedStreamingSession(StreamingTranscriber):
@@ -74,7 +86,10 @@ class BatchedStreamingSession(StreamingTranscriber):
             ticks, self.inbox = self.inbox, []
         for idx in ticks:
             frames = len(idx)
-            frame_dur = self.window_sec / frames
+            # fused ticks deliver only the window TAIL, so the frame duration
+            # comes from the engine (window_sec / full frames), not len(idx)
+            frame_dur = (self.engine.frame_dur if self.engine.frame_dur
+                         else self.window_sec / frames)
             end = self.consumed_sec + self.engine.chunk / self.sample_rate
             times = end - (frames - 1 - np.arange(frames)) * frame_dur
             self.consumed_sec = end
@@ -115,17 +130,39 @@ class BatchedStreamingEngine:
 
     forward_fused: (B, W) float32 x (B,) -> (B, frames, 2) packed
     [argmax idx, confidence] (transcribe.setup's forward.fused contract —
-    compiled once for B=n_slots).
+    compiled once for B=n_slots). Legacy 2-dispatch path; pass
+    `logprobs_provider` instead for the fused single-dispatch tick.
+
+    logprobs_provider: () -> (apply_fn, get_weights) where
+    apply_fn(weights, x (B, W) f32, xlen (B,)) -> (B, frames, V) log-probs is
+    jax-traceable and get_weights() returns the current weights pytree
+    (resolved per tick, so post-construction int8 calibration is honored;
+    weights are jit ARGUMENTS, never closure constants — CLAUDE.md HTTP 413).
+
+    transport (fused path only): 'int16' chunks ride the host->device link as
+    PCM int16 (bit-exact, half the f32 bytes) or 'mulaw' uint8 (G.711-style
+    companding, quarter the bytes, ~38 dB SNR — same contract as the train
+    CLI --device-transport).
     """
 
     def __init__(self, forward_fused, sample_rate: int, n_slots: int = 16,
-                 window_sec: float = 10.0, chunk_sec: float = 0.32):
+                 window_sec: float = 10.0, chunk_sec: float = 0.32,
+                 logprobs_provider=None, transport: str = 'int16',
+                 max_lookahead_sec: float = 2.0):
         self.forward_fused = forward_fused
         self.sample_rate = sample_rate
         self.n_slots = n_slots
         self.window = (int(window_sec * sample_rate) // 128) * 128
+        self.window_sec = self.window / sample_rate
         self.chunk = max(int(chunk_sec * sample_rate), 1)
         self.chunk_sec = self.chunk / sample_rate
+        self.logprobs_provider = logprobs_provider
+        assert transport in ('int16', 'mulaw'), transport
+        self.transport = transport
+        self.max_lookahead_sec = max_lookahead_sec
+        self.frame_dur = None     # window_sec / full output frames (set lazily)
+        self.tail_frames = None   # fused fetch length (None = full window)
+        self._tick_fused = None
         self.lock = threading.RLock()
         self.sessions: typing.Dict[int, BatchedStreamingSession] = {}
         self._free = list(range(n_slots))
@@ -138,6 +175,12 @@ class BatchedStreamingEngine:
              ) -> BatchedStreamingSession:
         with self.lock:
             assert self._free, f'all {self.n_slots} streaming slots busy'
+            if self.logprobs_provider is not None:
+                # the fused tick fetches only a max_lookahead-sized tail;
+                # a larger per-session lookahead would need frames it never sees
+                assert lookahead_sec <= self.max_lookahead_sec, \
+                    (f'lookahead {lookahead_sec}s exceeds the engine\'s '
+                     f'max_lookahead_sec {self.max_lookahead_sec}s')
             slot = self._free.pop()
             s = BatchedStreamingSession(
                 self, slot, tokenizer, lookahead_sec=lookahead_sec,
@@ -161,6 +204,16 @@ class BatchedStreamingEngine:
         self._buf = jnp.zeros((self.n_slots, self.window), jnp.float32)
 
         @jax.jit
+        def zero_rows(buf, mask):
+            return jnp.where(mask[:, None], jnp.zeros_like(buf), buf)
+
+        self._zero = zero_rows
+
+        if self.logprobs_provider is not None:
+            self._init_fused()
+            return
+
+        @jax.jit
         def ring(buf, chunk_i16, advance):
             # advance=True rows shift left by C and append the new chunk
             # (int16 on the wire, /32767 here on device); others unchanged
@@ -170,11 +223,51 @@ class BatchedStreamingEngine:
 
         self._ring = ring
 
-        @jax.jit
-        def zero_rows(buf, mask):
-            return jnp.where(mask[:, None], jnp.zeros_like(buf), buf)
+    def _init_fused(self):
+        """Build the single-dispatch tick: ring advance + forward + argmax +
+        tail slice as ONE jitted program. The tail covers every frame `_emit`
+        can still consume: commits reach back at most lookahead + chunk
+        (+1 frame) behind the window end, because every delivered tick either
+        commits up to `end - lookahead` or (endpoint/flush) up to `end`."""
+        import jax
+        import jax.numpy as jnp
+        N, W, C = self.n_slots, self.window, self.chunk
+        apply_lp, get_weights = self.logprobs_provider()
+        lp_shape = jax.eval_shape(
+            lambda w, x: apply_lp(w, x, jnp.ones((N,), jnp.float32)),
+            get_weights(), jax.ShapeDtypeStruct((N, W), jnp.float32))
+        frames, vocab = lp_shape.shape[1], lp_shape.shape[2]
+        self.frame_dur = self.window_sec / frames
+        tail_sec = (self.max_lookahead_sec + 2 * self.chunk_sec
+                    + 4 * self.frame_dur)
+        F = min(frames, int(np.ceil(tail_sec / self.frame_dur)))
+        self.tail_frames = F
+        idx_dtype = jnp.uint8 if vocab <= 256 else jnp.int32
+        mulaw = self.transport == 'mulaw'
 
-        self._zero = zero_rows
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _tick(weights, buf, chunk_wire, advance):
+            if mulaw:
+                y = (chunk_wire.astype(jnp.float32) - 128.0) / 127.0
+                dec = (jnp.sign(y)
+                       * (jnp.power(1.0 + MULAW_MU, jnp.abs(y)) - 1.0)
+                       / MULAW_MU)
+            else:
+                dec = chunk_wire.astype(jnp.float32) / 32767.0
+            new = jnp.concatenate([buf[:, C:], dec], axis=1)
+            buf = jnp.where(advance[:, None], new, buf)
+            lp = apply_lp(weights, buf, jnp.ones((N,), jnp.float32))
+            idx = jnp.argmax(lp, -1).astype(idx_dtype)
+            return buf, idx[:, frames - F:]
+
+        self._tick_fused = lambda buf, ch, adv: _tick(get_weights(), buf, ch, adv)
+
+    def _encode_chunk(self, chunk_i16: np.ndarray) -> np.ndarray:
+        if self.transport == 'mulaw':
+            xc = chunk_i16.astype(np.float32) / 32767.0
+            y = np.sign(xc) * np.log1p(MULAW_MU * np.abs(xc)) / np.log1p(MULAW_MU)
+            return (y * 127.0 + 128.0).round().astype(np.uint8)
+        return chunk_i16
 
     def _zero_slot(self, slot: int):
         mask = np.zeros(self.n_slots, bool)
@@ -206,10 +299,22 @@ class BatchedStreamingEngine:
                 chunk[s] = sess.pending[:self.chunk]
                 sess.pending = sess.pending[self.chunk:]
                 advance[s] = True
+            if self._tick_fused is not None:
+                # ONE dispatch: ring + forward + argmax + tail slice
+                self._buf, tail = self._tick_fused(
+                    self._buf, jnp.asarray(self._encode_chunk(chunk)),
+                    jnp.asarray(advance))
+                idx = np.asarray(tail)              # (N, tail_frames) uint8
+                self.ticks += 1
+                for s in ready:
+                    self.sessions[s].inbox.append(idx[s].astype(np.int64))
+                return len(ready)
             self._buf = self._ring(self._buf, jnp.asarray(chunk),
                                    jnp.asarray(advance))
             packed = np.asarray(self.forward_fused(
                 self._buf, np.ones(self.n_slots, np.float32)))
+            if self.frame_dur is None:
+                self.frame_dur = self.window_sec / packed.shape[1]
             self.ticks += 1
             for s in ready:
                 self.sessions[s].inbox.append(packed[s, :, 0].astype(np.int64))

@@ -148,6 +148,175 @@ class TestSlots:
         assert eng.ticks == 0
 
 
+def make_fake_logprobs_provider(sample_rate=SR, frame_dur=FRAME,
+                                silence_blank=False):
+    """jax-traceable analogue of make_fake_forward_batch for the fused
+    single-dispatch tick: amplitude-coded tokens as (B, frames, 5) log-probs
+    (argmax == the coded token), weights = empty pytree."""
+    import jax.numpy as jnp
+
+    def apply_lp(weights, x, xlen):
+        B, W = x.shape
+        frames = int(round(W / sample_rate / frame_dur))
+        hop = W // frames
+        centers = x[:, np.arange(frames) * hop + hop // 2]
+        v = jnp.clip(jnp.round(centers * 10), 0, 4)
+        if silence_blank:
+            v = jnp.where(jnp.abs(centers) < 0.05, 4, v)
+        return -jnp.abs(jnp.arange(5)[None, None, :].astype(jnp.float32)
+                        - v[:, :, None])
+
+    return lambda: (apply_lp, (lambda: {}))
+
+
+class TestFusedTick:
+    """Single-dispatch fused tick (+ uint8 tail fetch + wire transports):
+    committed text must equal the legacy 2-dispatch full-window engine."""
+    CHUNK_FRAMES = 25
+
+    def run_fused(self, token_streams, transport='int16',
+                  window_sec=4.0, max_lookahead_sec=0.3, lookahead_sec=0.2):
+        chunk_sec = self.CHUNK_FRAMES * FRAME
+        eng = BatchedStreamingEngine(
+            None, SR, n_slots=len(token_streams), window_sec=window_sec,
+            chunk_sec=chunk_sec,
+            logprobs_provider=make_fake_logprobs_provider(),
+            transport=transport, max_lookahead_sec=max_lookahead_sec)
+        sessions = [eng.open(FakeTokenizer(), lookahead_sec=lookahead_sec)
+                    for _ in token_streams]
+        sigs = [synth(t) for t in token_streams]
+        hop = int(SR * FRAME)
+        n_chunks = max(len(t) for t in token_streams) // self.CHUNK_FRAMES
+        events = [[] for _ in token_streams]
+        for c in range(n_chunks):
+            for s, sig in enumerate(sigs):
+                lo = c * self.CHUNK_FRAMES * hop
+                if lo < len(sig):
+                    sessions[s].accept(sig[lo:lo + self.CHUNK_FRAMES * hop])
+            eng.tick()
+            for s, sess in enumerate(sessions):
+                events[s].extend(sess.drain())
+        for s, sess in enumerate(sessions):
+            events[s].extend(sess.flush())
+        return eng, sessions, events
+
+    def test_tail_slice_is_active_and_exact(self):
+        """window 4 s, max lookahead 0.3 s -> the tail fetch covers a strict
+        subset of the window; decode must still equal offline."""
+        rng = np.random.RandomState(7)
+        token_streams = [rng.randint(0, 5, size=150).tolist()
+                         for _ in range(3)]
+        eng, sessions, events = self.run_fused(token_streams)
+        assert eng.tail_frames is not None and eng.tail_frames < 200, \
+            eng.tail_frames  # the slice really is a tail, not the window
+        for s, tokens in enumerate(token_streams):
+            assert sessions[s].full_text() == letters(tokens), s
+            finals = ''.join(e.text for e in events[s] if e.is_final)
+            assert finals == letters(tokens), s
+
+    def test_mulaw_transport(self):
+        """mu-law uint8 chunks (quarter the bytes): the ~38 dB companding
+        noise must not change the amplitude-coded decode."""
+        rng = np.random.RandomState(8)
+        token_streams = [rng.randint(0, 5, size=100).tolist()
+                         for _ in range(2)]
+        _, sessions, _ = self.run_fused(token_streams, transport='mulaw')
+        for s, tokens in enumerate(token_streams):
+            assert sessions[s].full_text() == letters(tokens), s
+
+    def test_lookahead_over_max_rejected(self):
+        eng = BatchedStreamingEngine(
+            None, SR, n_slots=1, window_sec=2.0, chunk_sec=0.5,
+            logprobs_provider=make_fake_logprobs_provider(),
+            max_lookahead_sec=0.3)
+        with pytest.raises(AssertionError):
+            eng.open(FakeTokenizer(), lookahead_sec=1.5)
+
+    def test_endpoint_commits_early_fused(self):
+        """VAD endpointing through the fused tick (lookahead > window: the
+        tail becomes the full window via min())."""
+        eng = BatchedStreamingEngine(
+            None, SR, n_slots=1, window_sec=2.0, chunk_sec=0.5,
+            logprobs_provider=make_fake_logprobs_provider(silence_blank=True),
+            max_lookahead_sec=10.0)
+        sess = eng.open(FakeTokenizer(), lookahead_sec=10.0,
+                        endpoint_silence_sec=0.4)
+        hop = int(SR * FRAME)
+        speech = np.repeat(np.asarray([0.1, 0.1, 0.2, 0.2], np.float32), hop)
+        silence = np.zeros(SR, np.float32)
+        events = []
+        for sig in (speech, silence[:4000], silence[4000:]):
+            sess.accept(sig)
+            eng.tick()
+            events.extend(sess.drain())
+        assert sess.endpointed
+        assert ''.join(e.text for e in events if e.is_final) == 'bc'
+
+    def test_real_model_fused_matches_legacy(self):
+        """Tiny real JasperNet: fused single-dispatch engine == legacy
+        2-dispatch engine == per-stream transcriber on the same audio."""
+        import jax
+        import jax.numpy as jnp
+        from convasr_tpu.frontend.logmel import LogFilterBankFrontend
+        from convasr_tpu.models.zoo import create_model
+
+        sr = 8000
+        frontend = LogFilterBankFrontend(out_channels=16, sample_rate=sr,
+                                         window_size=0.02, window_stride=0.01,
+                                         dither=0.0)
+        model = create_model('JasperNetSmall', num_input_features=16,
+                             num_classes=(6,), frontend=frontend, base_width=8)
+        x0 = jnp.zeros((1, sr), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x0,
+                               xlen=jnp.ones((1,), jnp.float32))
+
+        def apply_lp(v, x, xlen):
+            return model.apply(v, x, xlen=xlen)['log_probs'][0]
+
+        @jax.jit
+        def _fused(v, x, xlen):
+            lp = apply_lp(v, x, xlen)
+            return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
+                              jnp.max(lp, -1).astype(jnp.float32)], -1)
+
+        class _Tok:
+            eps_id = 5
+
+            def decode(self, tls):
+                return [''.join('abcde.'[t] for t in ts) for ts in tls]
+
+        audio = np.asarray(np.random.RandomState(11).randn(sr * 3) * 0.1,
+                           np.float32)
+        # pre-quantize to the int16 grid so the engines' int16 wire and the
+        # per-stream float path see bit-identical signals
+        audio = (audio * 32767.0).round().astype(np.int16) \
+            .astype(np.float32) / 32767.0
+        chunk = sr // 4
+
+        def drive(engine):
+            sess = engine.open(_Tok(), lookahead_sec=0.5)
+            for lo in range(0, len(audio), chunk):
+                sess.accept(audio[lo:lo + chunk])
+                engine.tick()
+                sess.drain()
+            sess.flush()
+            return sess.full_text()
+
+        legacy = BatchedStreamingEngine(
+            lambda x, xlen: _fused(variables, x, xlen), sr, n_slots=1,
+            window_sec=2.0, chunk_sec=chunk / sr)
+        fused_eng = BatchedStreamingEngine(
+            None, sr, n_slots=1, window_sec=2.0, chunk_sec=chunk / sr,
+            logprobs_provider=lambda: (apply_lp, (lambda: variables)),
+            transport='int16', max_lookahead_sec=0.6)
+        text_legacy, text_fused = drive(legacy), drive(fused_eng)
+        # (per-stream output can differ by a flush-padding token or two on a
+        # random-weights model — the batched flush pads to a full chunk, which
+        # shifts the window; fused vs legacy see IDENTICAL padding, so their
+        # equality is exact)
+        assert text_fused == text_legacy
+
+
 def make_silence_aware_forward_batch(sample_rate=SR, frame_dur=FRAME):
     """Near-zero frames decode as BLANK (a real acoustic model emits blank
     over silence); louder frames amplitude-code the token."""

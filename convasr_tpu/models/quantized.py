@@ -172,9 +172,14 @@ def _features(model, variables, x, xlen, act_dtype=jnp.float32):
 
 
 def _forward(model, layers, x, xlen, act_scales=None, recorder=None,
-             variables=None):
+             variables=None, epilogue_dtype=jnp.float32):
     """Shared folded-graph forward. recorder set -> f32 collect mode;
     act_scales set -> int8 mode; neither -> plain folded f32 (parity oracle).
+
+    epilogue_dtype (int8 mode): precision of the per-conv epilogue
+    (scale+bias+residual+relu+requant). float32 is the accuracy-safe
+    default; bfloat16 halves the epilogue's VPU/bandwidth footprint
+    (measured on the v5e: see scripts/int8_amdahl_probe.py).
     """
     quant = act_scales is not None
 
@@ -186,7 +191,9 @@ def _forward(model, layers, x, xlen, act_scales=None, recorder=None,
         L = layers[name]
         if quant:
             y = _conv1d(t, L['wq'], stride, dilation, groups, out_dtype=jnp.int32)
-            return y.astype(jnp.float32) * (t_scale * L['sw']) + L['b']
+            return (y.astype(epilogue_dtype)
+                    * (t_scale * L['sw']).astype(epilogue_dtype)
+                    + L['b'].astype(epilogue_dtype))
         return _conv1d(t, L['w'], stride, dilation, groups) + L['b']
 
     def mask_of(t):
@@ -216,6 +223,7 @@ def _forward(model, layers, x, xlen, act_scales=None, recorder=None,
             t = cur
             if kwargs.get('separable'):
                 tf = (t.astype(jnp.float32) * cur_scale) if quant else t
+                tf = tf.astype(jnp.float32)  # depthwise half stays f32
                 dw = layers[f'{prefix}.dw{r}']
                 tf = jax.nn.relu(_conv1d(tf, dw['w'], kwargs.get('stride', 1),
                                          groups=kwargs.get('groups', 1)) + dw['b'])
@@ -230,10 +238,27 @@ def _forward(model, layers, x, xlen, act_scales=None, recorder=None,
                          dilation=kwargs.get('dilation', 1),
                          groups=kwargs.get('groups', 1))
             if r == repeat - 1:
+                conv_idx = [j for j, (_, _, ch) in enumerate(block_residual)
+                            if ch is not None]
+                if quant and len(conv_idx) >= 2 \
+                        and f'{prefix}.resfused' in layers:
+                    # Dense-residual fusion: the j 1x1 convs collapse into
+                    # ONE concat-GEMM with a deep contraction dim (see
+                    # _fuse_residuals) — per-j epilogues become one.
+                    L = layers[f'{prefix}.resfused']
+                    rt_cat = jnp.concatenate(
+                        [block_residual[j][0] for j in conv_idx], axis=-1)
+                    yr = _conv1d(rt_cat, L['wq'], out_dtype=jnp.int32)
+                    y = y + (yr.astype(epilogue_dtype)
+                             * L['s'].astype(epilogue_dtype)
+                             + L['b'].astype(epilogue_dtype))
+                    conv_idx = []
                 for j, (rt, rs, ch) in enumerate(block_residual):
                     if ch is None:   # 'flat' topology: raw add, no 1x1
-                        y = y + (rt.astype(jnp.float32) * rs if quant else rt)
-                    else:
+                        y = y + (rt.astype(epilogue_dtype)
+                                 * jnp.asarray(rs, epilogue_dtype)
+                                 if quant else rt)
+                    elif j in conv_idx:
                         y = y + conv(f'{prefix}.res{j}', rt, rs)
             y = apply_nonlinearity(y, nonlinearity)
             m = mask_of(y) if use_mask else None
@@ -321,6 +346,57 @@ def load_act_scales(path):
         return {k: np.float32(z[k]) for k in z.files}
 
 
+def _fuse_residuals(model, layers, qlayers, act_scales):
+    """Collapse each block's dense-residual 1x1 convs into ONE concat-GEMM.
+
+    Measured motivation (scripts/int8_amdahl_probe.py / int8_shape_probe.py):
+    JasperNetBig 'dense' runs 53 tiny K=1 int8 convs whose contraction dim
+    (Cin=256..640) under-fills the MXU pipeline — they execute at ~45-65
+    TOPS vs 380 on the K=11..29 shapes, costing most of the ~20 ms gap
+    between the backbone and its analytic conv floor. Concatenating the j
+    residual inputs along channels turns sum_j(rt_j @ W_j) into one GEMM
+    with a j-times-deeper contraction.
+
+    int8 wrinkle: each residual input rt_j carries its own per-tensor scale
+    rs_j, which cannot be factored out after the int32 sum over the
+    concatenated axis. Fix at quantize time: per output channel c pick the
+    common product scale s[c] = max_j(rs_j * absmax_c(W_j) / 127) and
+    requantize W_j with weight scale s[c] / rs_j (>= its natural scale, so
+    values still fit int8). Residuals whose natural product scale is far
+    below s[c] lose effective weight bits in proportion to how little they
+    contribute to the output — WER-validated by the harness tests.
+    """
+    plan = model._block_plan()
+    num_epilogue = 2
+    res_names = []   # act_scales key of each pending residual tensor
+    for i, block in enumerate(plan):
+        kwargs = block['kwargs']
+        chs = block['residual_channels'] or []
+        idxs = [j for j, ch in enumerate(chs) if ch is not None]
+        if len(idxs) >= 2:
+            Ws = [layers[f'block{i}.res{j}']['w'] for j in idxs]
+            rss = [float(act_scales[res_names[j]]) for j in idxs]
+            s = np.maximum.reduce(
+                [rs * np.maximum(np.abs(W).max(axis=(0, 1)), 1e-12) / 127.0
+                 for W, rs in zip(Ws, rss)])                      # (Cout,)
+            qlayers[f'block{i}.resfused'] = dict(
+                wq=np.concatenate(
+                    [np.clip(np.round(W / (s / rs)), -127, 127).astype(np.int8)
+                     for W, rs in zip(Ws, rss)], axis=1),
+                s=s.astype(np.float32),
+                b=np.sum([layers[f'block{i}.res{j}']['b'] for j in idxs],
+                         axis=0).astype(np.float32))
+        out_name = f'block{i}.r{kwargs.get("repeat", 1) - 1}'
+        if i >= len(plan) - num_epilogue - 1:
+            res_names = []
+        elif model.residual == 'dense':
+            res_names.append(out_name)
+        elif model.residual:
+            res_names = [out_name]
+        else:
+            res_names = []
+
+
 def quantize(model, variables, batches, percentile=100.0, act_scales=None):
     """PTQ: fold BN, quantize weights per-channel, calibrate activations.
     Returns a jit-friendly pytree to pass to quantized_apply. Pass
@@ -339,6 +415,7 @@ def quantize(model, variables, batches, percentile=100.0, act_scales=None):
     if act_scales is None:
         act_scales = {k: np.float32(max(float(v), 1e-12) / 127.0)
                       for k, v in stats.items()}
+    _fuse_residuals(model, layers, qlayers, act_scales)
     qtree = dict(layers=qlayers, act_scales=dict(act_scales))
     if 'frontend' in variables.get('params', {}):
         qtree['frontend_params'] = variables['params']['frontend']
@@ -401,10 +478,11 @@ def load_qtree(path):
     return out
 
 
-def quantized_apply(model, qtree, x, xlen=None):
+def quantized_apply(model, qtree, x, xlen=None, epilogue_dtype=jnp.float32):
     """int8 inference forward. `qtree` from quantize(); jit over (x, xlen)
     with qtree as an ARGUMENT (never closed over — CLAUDE.md HTTP 413)."""
     variables = {'params': {'frontend': qtree['frontend_params']}} \
         if 'frontend_params' in qtree else None
     return _forward(model, qtree['layers'], x, xlen,
-                    act_scales=qtree['act_scales'], variables=variables)
+                    act_scales=qtree['act_scales'], variables=variables,
+                    epilogue_dtype=epilogue_dtype)

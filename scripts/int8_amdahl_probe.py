@@ -15,7 +15,13 @@ Methodology per CLAUDE.md: chain iterations thread the FULL output back into
 the input (no DCE), per-iteration time = slope between two chain lengths
 (cancels the ~25-30 ms tunnel dispatch+fetch constant).
 
-Usage: python scripts/int8_amdahl_probe.py
+Usage: python scripts/int8_amdahl_probe.py [--quick]
+  --quick: A/C/B/D only (skip E1/E2 — ~4 fewer program installs through
+  the tunnel; their findings are recorded in CLAUDE.md: epilogue fully
+  fused at 0.7 ms, bf16 epilogue a regression).
+
+Measured 2026-08-18 (pre-residual-fusion): A 92.9 ms (RTF 16,538), C 0.4,
+B 92.5, D floor 71.5, E1 91.9 (epilogue 0.7), E2 132.3 (bf16 worse).
 """
 import pathlib
 import sys
@@ -151,6 +157,80 @@ def main():
     fl = comp.cost_analysis().get('flops', 0.0)
     print(f'XLA cost-analysis backbone flops: {fl / 1e12:.2f} T '
           f'-> {fl / per_b / 1e12:.1f} Tflops/s effective')
+
+    if '--quick' in sys.argv:
+        return
+
+    # ---- E1: same conv sequence, trivial shift-requant epilogue ---------
+    # Isolates shape inefficiency (E1 - D) from epilogue cost (B - E1):
+    # the real epilogue is f32 scale+bias+residual-adds+relu+requant; this
+    # one is a bare `clip(y >> 7)` so anything above the analytic floor here
+    # is the conv shapes themselves, not the epilogue.
+    wq_tree = {k: v['wq'] for k, v in qtree['layers'].items() if 'wq' in v}
+
+    def conv_only(wq_tree, t):
+        residual = []
+        num_epilogue = 2
+
+        def requant(y):
+            return jnp.clip(y >> 7, -127, 127).astype(jnp.int8)
+
+        cur = t
+        for i, block in enumerate(plan):
+            kw = block['kwargs']
+            for r in range(kw.get('repeat', 1)):
+                y = Q._conv1d(cur, wq_tree[f'block{i}.conv{r}'],
+                              kw.get('stride', 1), kw.get('dilation', 1),
+                              kw.get('groups', 1), out_dtype=jnp.int32)
+                if r == kw.get('repeat', 1) - 1:
+                    for j, ch in enumerate(block['residual_channels'] or []):
+                        if ch is not None:
+                            y = y + Q._conv1d(residual[j], wq_tree[f'block{i}.res{j}'],
+                                              out_dtype=jnp.int32)
+                cur = requant(y)
+            if i >= len(plan) - num_epilogue - 1:
+                residual = []
+            elif model.residual == 'dense':
+                residual.append(cur)
+            elif model.residual:
+                residual = [cur]
+        return Q._conv1d(cur, wq_tree['decoder.head0'], out_dtype=jnp.int32)
+
+    q_feats = jnp.clip(jnp.round(feats / float(qtree['act_scales']['features'])),
+                       -127, 127).astype(jnp.int8)
+
+    def make_convonly(iters):
+        @jax.jit
+        def f(wq_tree, t):
+            def body(t, _):
+                out = conv_only(wq_tree, t)
+                # feed a whole-output reduction back (no DCE)
+                return jnp.clip(t + (jnp.sum(out) % 3 - 1).astype(jnp.int8),
+                                -127, 127), ()
+            t, _ = jax.lax.scan(body, t, None, length=iters)
+            return t[0, 0, :2]
+        return f
+
+    per_e1 = slope(make_convonly, (jax.device_put(wq_tree), q_feats))
+    print(f'E1 convs+shift-requant: {per_e1 * 1e3:5.1f} ms  '
+          f'(shape inefficiency E1-D = {1e3 * (per_e1 - floor):.1f} ms; '
+          f'epilogue cost B-E1 = {1e3 * (per_b - per_e1):.1f} ms)')
+
+    # ---- E2: real backbone, bf16 epilogue ------------------------------
+    def make_backbone_bf16(iters):
+        @jax.jit
+        def f(qtree, ft, xlen):
+            def body(ft, _):
+                lp = Q.quantized_apply(model, qtree, ft, xlen=xlen,
+                                       epilogue_dtype=jnp.bfloat16)['log_probs'][0]
+                return ft * (1.0 + 1e-3 * jnp.mean(lp).astype(jnp.float32)), ()
+            ft, _ = jax.lax.scan(body, ft, None, length=iters)
+            return ft[0, 0, :2]
+        return f
+
+    per_e2 = slope(make_backbone_bf16, (qtree, feats, xlen))
+    print(f'E2 backbone bf16-epilogue: {per_e2 * 1e3:5.1f} ms  '
+          f'(vs f32 {per_b * 1e3:.1f} ms)')
 
 
 if __name__ == '__main__':

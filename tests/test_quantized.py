@@ -128,3 +128,43 @@ def test_quantize_cached_writes_and_reads(tmp_path):
     second = q.quantize_cached(model, variables, batches=None, cache_path=path)
     for k in first['act_scales']:
         assert second['act_scales'][k] == first['act_scales'][k], k
+
+def test_residual_fusion_matches_per_conv():
+    """Dense-residual 1x1 convs collapse into one concat-GEMM at quantize
+    time (_fuse_residuals; the int8 Amdahl fix — 53 tiny K=1 convs ran at
+    ~45-65 TOPS standalone). The fused graph must track the per-conv int8
+    graph closely and the f32 oracle as closely as the unfused one did."""
+    model, variables, x, xlen = build('JasperNetBig')
+    qtree = q.quantize(model, variables, [dict(x=x, xlen=xlen)])
+    fused_names = [k for k in qtree['layers'] if k.endswith('.resfused')]
+    assert fused_names, 'dense topology must produce fused residual entries'
+    for k in fused_names:
+        L = qtree['layers'][k]
+        assert L['wq'].dtype == np.int8 and L['wq'].shape[0] == 1
+        assert L['s'].shape == (L['wq'].shape[2],)   # per-out-channel scale
+    # strip the fused entries -> the per-conv fallback path
+    unfused = dict(qtree, layers={k: v for k, v in qtree['layers'].items()
+                                  if not k.endswith('.resfused')})
+    a = q.quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][0]
+    b = q.quantized_apply(model, unfused, x, xlen=xlen)['log_probs'][0]
+    a, b = np.asarray(a), np.asarray(b)
+    cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.999, cos
+    assert np.mean(a.argmax(-1) == b.argmax(-1)) > 0.99
+    # and the fused int8 graph still tracks the float model
+    want = np.asarray(model.apply(variables, x, xlen=xlen)['log_probs'][0])
+    cos_f = np.sum(want * a) / (np.linalg.norm(want) * np.linalg.norm(a) + 1e-9)
+    assert cos_f > 0.99, cos_f
+
+
+def test_residual_fusion_qtree_roundtrip(tmp_path):
+    """save_qtree/load_qtree must carry the fused entries; a legacy sidecar
+    without them must still run (per-conv fallback)."""
+    model, variables, x, xlen = build('JasperNetBig')
+    qtree = q.quantize(model, variables, [dict(x=x, xlen=xlen)])
+    path = str(tmp_path / 'q.npz')
+    q.save_qtree(path, qtree)
+    loaded = q.load_qtree(path)
+    a = q.quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][0]
+    b = q.quantized_apply(model, loaded, x, xlen=xlen)['log_probs'][0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -47,14 +47,19 @@ T = int(SR * DUR)
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 
-def timed(fn, *args):
+def timed(fn, *args, reps=3):
+    """Median of `reps` runs after one warmup (rides out tunnel hiccups —
+    the dispatch floor swings 26->580 ms within a degraded window)."""
     np.asarray(fn(*args)).reshape(-1)[:1]
-    tic = time.perf_counter()
-    np.asarray(fn(*args)).reshape(-1)[:1]
-    return time.perf_counter() - tic
+    ts = []
+    for _ in range(reps):
+        tic = time.perf_counter()
+        np.asarray(fn(*args)).reshape(-1)[:1]
+        ts.append(time.perf_counter() - tic)
+    return sorted(ts)[len(ts) // 2]
 
 
-def slope(make_chain, args, short=3, long=9):
+def slope(make_chain, args, short=4, long=20):
     return (timed(make_chain(long), *args)
             - timed(make_chain(short), *args)) / (long - short)
 

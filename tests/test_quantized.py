@@ -168,3 +168,18 @@ def test_residual_fusion_qtree_roundtrip(tmp_path):
     a = q.quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][0]
     b = q.quantized_apply(model, loaded, x, xlen=xlen)['log_probs'][0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_bpe_dual_head():
+    """int8 graph with decoder_type='bpe': both heads quantized, both track
+    the float model (reference dual-head decode, models.py:152-157)."""
+    model, variables, x, xlen = build('JasperNetBig', decoder_type='bpe',
+                                      num_classes=(CLASSES, 2 * CLASSES))
+    qtree = q.quantize(model, variables, [dict(x=x, xlen=xlen)])
+    want = model.apply(variables, x, xlen=xlen)['log_probs']
+    got = q.quantized_apply(model, qtree, x, xlen=xlen)['log_probs']
+    assert len(got) == 2
+    for w, g in zip(want, got):
+        w, g = np.asarray(w), np.asarray(g)
+        cos = np.sum(w * g) / (np.linalg.norm(w) * np.linalg.norm(g) + 1e-9)
+        assert cos > 0.98, cos

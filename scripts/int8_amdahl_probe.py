@@ -22,6 +22,9 @@ Usage: python scripts/int8_amdahl_probe.py [--quick]
 
 Measured 2026-08-18 (pre-residual-fusion): A 92.9 ms (RTF 16,538), C 0.4,
 B 92.5, D floor 71.5, E1 91.9 (epilogue 0.7), E2 132.3 (bf16 worse).
+Post-residual-fusion clean-window re-measure (idle host, 33 ms floor):
+A 74.0 (RTF 20,746), B 73.0, C 0.9, floor 71.5 -> overhead 1.6 ms total,
+366.3 effective TOPS by XLA cost analysis.
 """
 import pathlib
 import sys

@@ -161,6 +161,54 @@ class SpeechServicer:
             channel_tag=1)])
 
 
+    def warmup(self, max_sec: float, streaming: bool = False,
+               streaming_chunk_sec: float = 0.32, log=print):
+        """Compile + install every serving program BEFORE the first request.
+
+        A cold request on a new bucket shape pays the jit compile and — over
+        the tunneled remote device — an executable install measured at 30 s
+        to 20 MIN depending on the window (CLAUDE.md). The reference server
+        has the same cold-start per shape on CUDA, just cheaper. Paying it
+        at startup makes first-request latency equal steady-state: one
+        synthetic zero-audio Recognize per bucket up to max_sec (exercising
+        the exact production path incl. the dynamic batcher), plus one
+        streaming window / engine tick when `streaming`.
+        """
+        import time as _time
+        rate = self.frontend.sample_rate
+        n = max(int(np.ceil(max_sec * rate / self.bucket)), 1)
+        for k in range(1, n + 1):
+            tic = _time.time()
+            audio = b'\x00\x00' * (k * self.bucket)
+            self.Recognize(pb2.RecognizeRequest(
+                config=dict(encoding=pb2.RecognitionConfig.LINEAR16,
+                            sample_rate_hertz=rate, audio_channel_count=1),
+                audio=dict(content=audio)))
+            log(f'warmup: unary bucket {k}/{n} '
+                f'({k * self.bucket / rate:.1f} s) ready in '
+                f'{_time.time() - tic:.1f} s')
+        fused = getattr(self.forward, 'fused', None)
+        if streaming and fused is not None:
+            tic = _time.time()
+            t = self._open_stream(fused)
+            chunk = np.zeros(max(int(streaming_chunk_sec * rate), 1),
+                             np.float32)
+            window = (self.stream_engine.window
+                      if self.stream_engine is not None else t.window)
+            for _ in range(int(np.ceil(window / len(chunk)))):
+                t.accept(chunk)
+                if getattr(t, 'slot', None) is not None:
+                    # engine ticker is not running yet: drive it manually so
+                    # the fused tick program compiles now
+                    self.stream_engine.tick()
+            t.flush()
+            slot = getattr(t, 'slot', None)
+            if slot is not None and not getattr(t, 'closed', True):
+                self.stream_engine.release(slot)
+                t.closed = True
+            kind = 'engine tick' if slot is not None else 'window'
+            log(f'warmup: streaming {kind} ready in {_time.time() - tic:.1f} s')
+
     def _open_stream(self, fused, endpoint=None):
         """A streaming session: a slot in the shared batched engine when one
         is configured (and free), else a per-stream StreamingTranscriber."""
@@ -325,10 +373,18 @@ def main(args):
             logprobs_provider=getattr(forward, 'stream_logprobs', None),
             transport=args.streaming_transport,
             max_lookahead_sec=args.streaming_max_lookahead_sec)
-        EngineTicker(stream_engine).start()
     servicer = SpeechServicer(text_pipeline, frontend, forward, generator,
                               decoder=decoder, batcher=batcher,
                               stream_engine=stream_engine)
+    if args.warmup_sec > 0:
+        # compile/install every bucket program now so the FIRST request per
+        # shape is as fast as steady state (cold compiles through the tunnel
+        # measured 30 s - 20 min; with the persistent XLA cache this is
+        # mostly the per-process remote executable install)
+        servicer.warmup(args.warmup_sec, streaming=True,
+                        streaming_chunk_sec=args.streaming_chunk_sec)
+    if stream_engine is not None:
+        EngineTicker(stream_engine).start()
     server = make_server(servicer, args.endpoint, args.num_workers)
     print('Serving google-cloud-speech API @', args.endpoint)
     server.start()
@@ -387,6 +443,12 @@ def build_parser():
                         default=2.0,
                         help='largest per-session lookahead the fused tick '
                              'supports (bounds the uint8 tail fetch)')
+    parser.add_argument('--warmup-sec', type=float, default=0.0,
+                        help='compile every bucket-padded serving program up '
+                             'to this audio length at startup (plus one '
+                             'streaming window/tick), so no live request '
+                             'ever pays a cold per-shape compile/install '
+                             '(0 = off)')
     parser.add_argument('--quantize', default=None, choices=['int8'],
                         help='serve the int8 PTQ graph (MXU 394-TOPS path, '
                              'models/quantized.py); needs --calibration-data')

@@ -405,3 +405,72 @@ class TestInt16Ingest:
         assert resp2.results
         assert f32_batcher.dispatches == 0, \
             'int16 row went through the float32 batcher (unscaled audio)'
+
+
+class TestServeWarmup:
+    """--warmup-sec: every bucket program compiles BEFORE the first request
+    (cold per-shape compile/install through the tunnel measured 30 s-20 min;
+    warmup moves it to startup)."""
+
+    def _pipeline(self):
+        from convasr_tpu.text import ProcessingPipeline
+        config = ProcessingPipeline.load_config(
+            str(ROOT / 'configs' / 'ru_text_config.json'))
+        return ProcessingPipeline.make(config, 'char_legacy')
+
+    def _fake_forward(self, vocab, calls):
+        """Stand-in forward: all-blank log-probs, records dispatch shapes."""
+        def forward(x, xlen):
+            calls.append(tuple(np.asarray(x).shape))
+            frames = max(int(np.asarray(x).shape[-1]) // 80, 1)
+            lp = np.full((1, frames, vocab), -20.0, np.float32)
+            lp[..., vocab - 1] = 0.0  # blank is the LAST class
+            return lp, lp, np.asarray([frames])
+        return forward
+
+    def test_warmup_compiles_each_bucket(self):
+        import types
+        from convasr_tpu.decode.generators import GreedyCTCGenerator
+        from convasr_tpu.serve.grpc_google_api import SpeechServicer
+        pipeline = self._pipeline()
+        vocab = pipeline.tokenizer.vocab_size
+        calls = []
+        frontend = types.SimpleNamespace(sample_rate=8000)
+        servicer = SpeechServicer(pipeline, frontend,
+                                  self._fake_forward(vocab, calls),
+                                  GreedyCTCGenerator(), bucket_sec=1.0)
+        servicer.warmup(3.0, log=lambda *a, **k: None)
+        # one dispatch per bucket shape, ascending
+        assert [c[-1] for c in calls] == [8000, 16000, 24000]
+
+    def test_warmup_streaming_engine_frees_slots(self):
+        import types
+        from convasr_tpu.decode.generators import GreedyCTCGenerator
+        from convasr_tpu.serve.grpc_google_api import SpeechServicer
+        from convasr_tpu.serve.streaming_batch import BatchedStreamingEngine
+        pipeline = self._pipeline()
+        vocab = pipeline.tokenizer.vocab_size
+        calls = []
+        forward = self._fake_forward(vocab, calls)
+
+        def fused_batch(x, xlen):
+            x = np.asarray(x)
+            frames = max(x.shape[-1] // 80, 1)
+            packed = np.zeros((x.shape[0], frames, 2), np.float32)
+            packed[..., 0] = vocab - 1  # all-blank
+            return packed
+        forward.fused = fused_batch
+        sr = 8000
+        engine = BatchedStreamingEngine(fused_batch, sr, n_slots=2,
+                                        window_sec=1.0, chunk_sec=0.25)
+        frontend = types.SimpleNamespace(sample_rate=sr)
+        servicer = SpeechServicer(pipeline, frontend, forward,
+                                  GreedyCTCGenerator(), bucket_sec=1.0,
+                                  stream_engine=engine)
+        servicer.warmup(1.0, streaming=True, streaming_chunk_sec=0.25,
+                        log=lambda *a, **k: None)
+        # the engine ticked (fused tick program exercised) and the warmup
+        # session gave its ring slot back
+        assert engine.ticks > 0
+        assert sorted(engine._free) == [0, 1]
+        assert not engine.sessions

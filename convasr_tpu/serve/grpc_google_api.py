@@ -208,6 +208,18 @@ class SpeechServicer:
                 t.closed = True
             kind = 'engine tick' if slot is not None else 'window'
             log(f'warmup: streaming {kind} ready in {_time.time() - tic:.1f} s')
+            if slot is not None:
+                # the per-stream FALLBACK path (taken when every engine slot
+                # is busy) compiles its own (1, W) program — warm it too so
+                # overflow sessions never hit a cold shape
+                from .streaming import StreamingTranscriber
+                tic = _time.time()
+                t = StreamingTranscriber(fused, self.text_pipeline.tokenizer,
+                                         rate)
+                t.accept(chunk)   # every accept decodes the (1, W) window
+                t.flush()
+                log(f'warmup: per-stream fallback window ready in '
+                    f'{_time.time() - tic:.1f} s')
 
     def _open_stream(self, fused, endpoint=None):
         """A streaming session: a slot in the shared batched engine when one

@@ -193,14 +193,14 @@ class SpeechServicer:
             t = self._open_stream(fused)
             chunk = np.zeros(max(int(streaming_chunk_sec * rate), 1),
                              np.float32)
-            window = (self.stream_engine.window
-                      if self.stream_engine is not None else t.window)
-            for _ in range(int(np.ceil(window / len(chunk)))):
-                t.accept(chunk)
-                if getattr(t, 'slot', None) is not None:
-                    # engine ticker is not running yet: drive it manually so
-                    # the fused tick program compiles now
-                    self.stream_engine.tick()
+            # ONE chunk per path compiles the program; filling the whole
+            # window would pay ~30 extra ~30 ms tunnel dispatches per path
+            # for nothing (ADVICE r3)
+            t.accept(chunk)
+            if getattr(t, 'slot', None) is not None:
+                # engine ticker is not running yet: drive one tick manually
+                # so the fused tick program compiles now
+                self.stream_engine.tick()
             t.flush()
             slot = getattr(t, 'slot', None)
             if slot is not None and not getattr(t, 'closed', True):
@@ -223,14 +223,20 @@ class SpeechServicer:
 
     def _open_stream(self, fused, endpoint=None):
         """A streaming session: a slot in the shared batched engine when one
-        is configured (and free), else a per-stream StreamingTranscriber."""
+        is configured (and free), else a per-stream StreamingTranscriber.
+
+        The session lookahead is clamped to the engine's max_lookahead_sec so
+        a server run with --streaming-max-lookahead-sec < 1.5 still uses the
+        batched engine (previously the open() assertion was swallowed and
+        EVERY session silently fell back to per-stream dispatch — ADVICE r3);
+        only the genuinely-all-slots-busy case falls back now."""
         from .streaming import StreamingTranscriber
         if self.stream_engine is not None:
-            try:
-                return self.stream_engine.open(
-                    self.text_pipeline.tokenizer, endpoint_silence_sec=endpoint)
-            except AssertionError:
-                pass  # all slots busy: per-stream fallback below
+            t = self.stream_engine.try_open(
+                self.text_pipeline.tokenizer, endpoint_silence_sec=endpoint,
+                lookahead_sec=min(1.5, self.stream_engine.max_lookahead_sec))
+            if t is not None:
+                return t
         return StreamingTranscriber(
             fused, self.text_pipeline.tokenizer, self.frontend.sample_rate,
             endpoint_silence_sec=endpoint)

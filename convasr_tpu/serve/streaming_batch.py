@@ -188,6 +188,16 @@ class BatchedStreamingEngine:
             self.sessions[slot] = s
             return s
 
+    def try_open(self, tokenizer, **kw) -> typing.Optional[BatchedStreamingSession]:
+        """open() when a slot is free, else None. Unlike catching open()'s
+        AssertionError wholesale, configuration errors (e.g. a lookahead
+        larger than max_lookahead_sec) still raise instead of silently
+        degrading every session to the per-stream fallback (ADVICE r3)."""
+        with self.lock:
+            if not self._free:
+                return None
+            return self.open(tokenizer, **kw)
+
     def release(self, slot: int):
         with self.lock:
             if slot in self.sessions:

@@ -7,6 +7,14 @@ fastest CPU path (30.2 ms for 5 s, 36.0 ms for 1 m, 3.58 s for 1 h of
 8 kHz int16 wav). This repo adds a `native` backend — an in-repo C++ WAV
 reader (native/wav_reader.cpp, ctypes-loaded) with no scipy overhead.
 
+Methodology deviations from the reference (ADVICE r3): by default the
+iteration count scales DOWN for files longer than 1 minute (the reference
+runs x100 for every size — the 1 h file through ffmpeg alone would take
+~9 min x backends on this 1-core host); pass --no-scale-long for the exact
+reference x--iterations methodology. Each timed loop is preceded by
+untimed warmup reads (the reference warms 3x), and a backend that fails
+mid-loop degrades to an `n/a` row instead of aborting the script.
+
 Usage: python scripts/audio_io_bench.py [--iterations 100] [--backends ...]
 Writes one table row per (file, backend): mean us/decode over N iterations.
 Run on an otherwise-idle host — a busy core inflates every backend equally
@@ -35,6 +43,13 @@ def make_wav(path, seconds, sample_rate=8000):
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('--iterations', type=int, default=100)
+    parser.add_argument('--warmup', type=int, default=3,
+                        help='untimed warmup reads per (file, backend) '
+                             '(reference audio.py warms 3x)')
+    parser.add_argument('--no-scale-long', action='store_true',
+                        help='run the full --iterations even for the 1 h '
+                             'file (exact reference methodology; the default '
+                             'scales iterations down past 60 s)')
     parser.add_argument('--backends', nargs='+',
                         default=['native', 'scipy', 'soundfile', 'sox', 'ffmpeg'])
     parser.add_argument('--durations', nargs='+', type=float,
@@ -54,28 +69,35 @@ def main():
                      f'{seconds / 3600:.0f}h')
             path = os.path.join(tmp, f'test_{label}.wav')
             make_wav(path, seconds)
-            iters = max(1, int(args.iterations * min(1.0, 60.0 / seconds)))
+            iters = args.iterations if args.no_scale_long else \
+                max(1, int(args.iterations * min(1.0, 60.0 / seconds)))
             timed, failed = {}, {}
             expect = int(seconds * 8000)
             for backend in args.backends:
                 try:
-                    sig, _ = read_audio(path, sample_rate=8000,
-                                        backend=backend)
+                    # untimed warmups double as the does-it-decode check;
                     # read_audio degrades decode errors to an EMPTY signal
                     # (reference audio.py:102-104) — that is a failure here
-                    assert sig.shape[-1] >= expect - 1, \
-                        f'decoded {sig.shape[-1]} of {expect} samples'
+                    for _ in range(max(args.warmup, 1)):
+                        sig, _ = read_audio(path, sample_rate=8000,
+                                            backend=backend)
+                        assert sig.shape[-1] >= expect - 1, \
+                            f'decoded {sig.shape[-1]} of {expect} samples'
                 except Exception as e:
                     failed[backend] = str(e)
                     continue
-                tic = time.perf_counter()
-                for _ in range(iters):
-                    signal, sr = read_audio(path, sample_rate=8000,
-                                            backend=backend)
-                timed[backend] = (time.perf_counter() - tic) / iters * 1e6
-                if signal.shape[-1] < expect - 1:
-                    failed[backend] = 'intermittent decode failure'
-                    del timed[backend]
+                try:
+                    tic = time.perf_counter()
+                    for _ in range(iters):
+                        signal, sr = read_audio(path, sample_rate=8000,
+                                                backend=backend)
+                        if signal.shape[-1] < expect - 1:
+                            raise RuntimeError('intermittent decode failure')
+                    timed[backend] = (time.perf_counter() - tic) / iters * 1e6
+                except Exception as e:
+                    # an intermittent mid-loop failure (e.g. a flaky ffmpeg
+                    # subprocess) records this backend as n/a and moves on
+                    failed[backend] = str(e)
             base = timed.get('scipy')
             for backend in args.backends:
                 if backend in failed:

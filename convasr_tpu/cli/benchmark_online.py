@@ -242,6 +242,33 @@ def benchmark_streaming(args, model, variables, apply_fn=None):
     def fused(x, xlen):
         return _fused(variables, x, xlen)
 
+    # streaming beam+LM finals (VERDICT r3 #1 capacity-delta measurement):
+    # beam_topk > 0 switches the tick fetch from argmax ids to top-k
+    # (log-prob, id) pairs and decodes finals through the host C++ beam;
+    # forced finals every --streaming-beam-force-final-sec put the host beam
+    # cost inside the measured tick budget (no VAD endpoints in random audio)
+    beam_dec = None
+    if args.streaming_beam_topk > 0:
+        from ..decode.beam import BeamSearchDecoder
+
+        class _Vocab(_Tok):
+            vocab = ['.'] * (args.num_classes - 1) + ['|']
+
+        beam_dec = BeamSearchDecoder(
+            _Vocab(), beam_width=args.streaming_beam_width,
+            cutoff_top_n=min(args.streaming_beam_topk, 8))
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def _fused_topk(v, x, xlen, k):
+            lp = apply_fn(v, x, xlen)
+            vals, ids = jax.lax.top_k(lp, k)
+            return jnp.stack([vals.astype(jnp.float32),
+                              ids.astype(jnp.float32)], -1)
+
+        fused_topk = lambda x, xlen, k: _fused_topk(variables, x, xlen, k)
+
     rng = np.random.RandomState(0)
     sr = args.sample_rate
     chunk = int(args.chunk_sec * sr)
@@ -268,8 +295,13 @@ def benchmark_streaming(args, model, variables, apply_fn=None):
                 window_sec=args.window_sec, chunk_sec=args.chunk_sec,
                 logprobs_provider=provider,
                 transport=args.streaming_transport,
-                max_lookahead_sec=max(2.0, args.lookahead_sec))
-            return eng, [eng.open(_Tok(), lookahead_sec=args.lookahead_sec)
+                max_lookahead_sec=max(2.0, args.lookahead_sec),
+                beam_topk=args.streaming_beam_topk)
+            kw = {} if beam_dec is None else dict(
+                beam_decoder=beam_dec,
+                beam_force_final_sec=args.streaming_beam_force_final_sec)
+            return eng, [eng.open(_Tok(), lookahead_sec=args.lookahead_sec,
+                                  **kw)
                          for _ in range(args.streams)]
 
         engine, streams = make_engine()
@@ -277,15 +309,21 @@ def benchmark_streaming(args, model, variables, apply_fn=None):
         engine.tick()                       # warmup compiles the (N, W) step
         engine, streams = make_engine()     # fresh state, cached compile
     else:
-        streams = [StreamingTranscriber(fused, _Tok(), sr,
+        ps_kw = {} if beam_dec is None else dict(
+            beam_decoder=beam_dec, forward_topk=fused_topk,
+            beam_topk=args.streaming_beam_topk,
+            beam_force_final_sec=args.streaming_beam_force_final_sec)
+
+        def make_stream():
+            return StreamingTranscriber(fused, _Tok(), sr,
                                         window_sec=args.window_sec,
-                                        lookahead_sec=args.lookahead_sec)
-                   for _ in range(args.streams)]
+                                        lookahead_sec=args.lookahead_sec,
+                                        **ps_kw)
+
+        streams = [make_stream() for _ in range(args.streams)]
         # warmup compiles the (1, W) program
         streams[0].accept(audio[0][:chunk])
-        streams[0] = StreamingTranscriber(fused, _Tok(), sr,
-                                          window_sec=args.window_sec,
-                                          lookahead_sec=args.lookahead_sec)
+        streams[0] = make_stream()
 
     accept_lat, commit_lat, tick_busy = [], [], []
     t0 = _time.perf_counter()
@@ -409,6 +447,17 @@ def build_parser():
                         help='batched engine tick: fused = ONE dispatch '
                              '(ring+forward+argmax+uint8 tail fetch); '
                              'legacy = 2 dispatches + full-window fetch')
+    parser.add_argument('--streaming-beam-topk', type=int, default=0,
+                        help='streaming beam finals: fetch top-k (log-prob, '
+                             'id) pairs per tick and decode finals through '
+                             'the host C++ beam (0 = greedy finals); '
+                             'measures the beam capacity delta')
+    parser.add_argument('--streaming-beam-width', type=int, default=16)
+    parser.add_argument('--streaming-beam-force-final-sec', type=float,
+                        default=5.0,
+                        help='force a beam final this often per stream so '
+                             'the host beam cost lands inside the measured '
+                             'tick budget')
     parser.add_argument('--streaming-transport', default='int16',
                         choices=['int16', 'mulaw'],
                         help='chunk bytes on the wire (fused tick): int16 '

@@ -52,5 +52,7 @@ def build_decoder(args, tokenizer, vocab=None):
         return BeamSearchDecoder(
             tokenizer, lm_path=getattr(args, 'lm', None),
             beam_width=args.beam_width, beam_alpha=args.beam_alpha,
-            beam_beta=args.beam_beta, topk=getattr(args, 'decoder_topk', 1))
+            beam_beta=args.beam_beta,
+            cutoff_top_n=getattr(args, 'beam_cutoff_top_n', None) or 40,
+            topk=getattr(args, 'decoder_topk', 1))
     raise ValueError(f'unknown decoder {choice!r}')

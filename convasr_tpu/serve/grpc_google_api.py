@@ -31,7 +31,9 @@ class SpeechServicer:
 
     def __init__(self, text_pipeline, frontend, forward, generator,
                  bucket_sec: float = 1.0, decoder=None, batcher=None,
-                 stream_engine=None):
+                 stream_engine=None, stream_beam: bool = False,
+                 stream_beam_topk: int = 8,
+                 stream_beam_force_final_sec: float = 30.0):
         self.text_pipeline = text_pipeline
         self.frontend = frontend
         self.forward = forward
@@ -48,6 +50,14 @@ class SpeechServicer:
         # (serve/streaming_batch.py); falls back to per-stream dispatch when
         # the slots are full
         self.stream_engine = stream_engine
+        # streaming beam+LM finals (VERDICT r3 #1): when on (and a host beam
+        # decoder is configured), StreamingRecognize finals come from the
+        # C++ beam + n-gram LM over accumulated top-k posteriors instead of
+        # the greedy collapse (greedy text still streams as interim updates)
+        self.stream_beam = bool(stream_beam and decoder is not None
+                                and hasattr(decoder, 'decode_one'))
+        self.stream_beam_topk = stream_beam_topk
+        self.stream_beam_force_final_sec = stream_beam_force_final_sec
         # requests are zero-padded up to the next bucket so each distinct
         # audio length does NOT compile a new program (first jit compile of
         # the flagship takes 30-90 s over the tunnel; an unpadded server
@@ -231,15 +241,25 @@ class SpeechServicer:
         EVERY session silently fell back to per-stream dispatch — ADVICE r3);
         only the genuinely-all-slots-busy case falls back now."""
         from .streaming import StreamingTranscriber
+        beam_kw = {}
+        if self.stream_beam:
+            beam_kw = dict(
+                beam_decoder=self.decoder,
+                beam_force_final_sec=self.stream_beam_force_final_sec)
         if self.stream_engine is not None:
             t = self.stream_engine.try_open(
                 self.text_pipeline.tokenizer, endpoint_silence_sec=endpoint,
-                lookahead_sec=min(1.5, self.stream_engine.max_lookahead_sec))
+                lookahead_sec=min(1.5, self.stream_engine.max_lookahead_sec),
+                **beam_kw)
             if t is not None:
                 return t
+        if self.stream_beam:
+            ft = getattr(self.forward, 'fused_topk', None)
+            assert ft is not None, 'streaming beam needs forward.fused_topk'
+            beam_kw.update(forward_topk=ft, beam_topk=self.stream_beam_topk)
         return StreamingTranscriber(
             fused, self.text_pipeline.tokenizer, self.frontend.sample_rate,
-            endpoint_silence_sec=endpoint)
+            endpoint_silence_sec=endpoint, **beam_kw)
 
     def StreamingRecognize(self, request_iterator, context=None):
         """Bidirectional streaming (beyond the reference, which implements
@@ -377,6 +397,12 @@ def main(args):
         batcher = DynamicBatcher(forward.fused_i16, max_batch=args.max_batch_size,
                                  max_wait_ms=args.batch_window_ms,
                                  dtype=np.int16)
+    # streaming beam+LM finals: on by default whenever a host beam decoder is
+    # configured (--decoder BeamSearchDecoder [--lm ...]) — the framework's
+    # proven accuracy win (beam+CNLM 9.07% -> 5.83% WER on chip) must reach
+    # streaming clients, not just unary Recognize (VERDICT r3 #1)
+    stream_beam = (args.streaming_beam and decoder is not None
+                   and hasattr(decoder, 'decode_one'))
     stream_engine = None
     if args.streaming_slots > 0:
         # batched streaming: all StreamingRecognize sessions share one
@@ -390,10 +416,15 @@ def main(args):
             # fused single-dispatch tick + uint8 tail fetch (streaming_batch)
             logprobs_provider=getattr(forward, 'stream_logprobs', None),
             transport=args.streaming_transport,
-            max_lookahead_sec=args.streaming_max_lookahead_sec)
+            max_lookahead_sec=args.streaming_max_lookahead_sec,
+            beam_topk=args.streaming_beam_topk if stream_beam else 0)
     servicer = SpeechServicer(text_pipeline, frontend, forward, generator,
                               decoder=decoder, batcher=batcher,
-                              stream_engine=stream_engine)
+                              stream_engine=stream_engine,
+                              stream_beam=stream_beam,
+                              stream_beam_topk=args.streaming_beam_topk,
+                              stream_beam_force_final_sec=
+                              args.streaming_beam_force_final_sec)
     if args.warmup_sec > 0:
         # compile/install every bucket program now so the FIRST request per
         # shape is as fast as steady state (cold compiles through the tunnel
@@ -461,6 +492,24 @@ def build_parser():
                         default=2.0,
                         help='largest per-session lookahead the fused tick '
                              'supports (bounds the uint8 tail fetch)')
+    parser.add_argument('--streaming-beam', type=lambda v: str(v).lower()
+                        in ('1', 'true', 'yes'), default=True,
+                        help='when a host beam decoder is configured '
+                             '(--decoder BeamSearchDecoder [--lm ...]), '
+                             'StreamingRecognize finals come from the beam+LM '
+                             'over accumulated top-k posteriors (greedy text '
+                             'still streams as interim updates); false = '
+                             'greedy finals')
+    parser.add_argument('--streaming-beam-topk', type=int, default=8,
+                        help='top-k classes fetched per frame for streaming '
+                             'beam finals (the beam only ever extends '
+                             'cutoff-top-n candidates; 8 covers '
+                             'cutoff_top_n<=8)')
+    parser.add_argument('--streaming-beam-force-final-sec', type=float,
+                        default=30.0,
+                        help='force a beam final after this much un-'
+                             'endpointed speech (bounds host beam latency '
+                             'per final)')
     parser.add_argument('--warmup-sec', type=float, default=0.0,
                         help='compile every bucket-padded serving program up '
                              'to this audio length at startup (plus one '

@@ -19,6 +19,12 @@ import typing
 
 import numpy as np
 
+# log-prob assigned to classes OUTSIDE the fetched top-k when densifying for
+# the host beam: far below any real emission, so the beam's cutoff_top_n
+# ordering and blank-collapse behavior match a full-posterior decode whose
+# cutoff_top_n <= k (the only frames the beam ever extends are top-n anyway)
+BEAM_LP_FLOOR = -1e4
+
 
 class StreamingCTCCollapse:
     """Greedy CTC collapse with carry across feeds: feeding a token stream in
@@ -59,12 +65,29 @@ class StreamingTranscriber:
     forward_fused(x (1, W) float32, xlen (1,)) must return the packed
     (1, frames, 2) [argmax idx, confidence] buffer for a fixed window of
     `window_sec` seconds (transcribe.setup's forward.fused contract).
+
+    Beam+LM finals (round 4, VERDICT r3 #1): with `beam_decoder` set (a host
+    BeamSearchDecoder, decode/beam.py — alpha/beta LM fusion semantics of
+    /root/reference/decoders.py:19-55), greedy text is demoted to INTERIM
+    updates and finals are produced by the beam: every frame's top-k
+    (log-prob, class) pairs are accumulated host-side the moment the frame
+    matures (crosses the commit horizon — each frame exactly once, the same
+    schedule the greedy collapse uses), and at an utterance endpoint / flush
+    (or every `beam_force_final_sec` of un-endpointed speech) the accumulated
+    sparse posteriors are densified and decoded through the C++ beam + n-gram
+    LM. The device hot path stays one fused dispatch per window/tick; the
+    only extra cost is fetching top-k instead of argmax. Per-stream sessions
+    get top-k via `forward_topk` (transcribe.setup forward.fused_topk);
+    batched-engine sessions receive it in their tick inbox
+    (streaming_batch.py, engine beam_topk > 0).
     """
 
     def __init__(self, forward_fused, tokenizer, sample_rate: int,
                  window_sec: float = 10.0, lookahead_sec: float = 1.5,
                  endpoint_silence_sec: typing.Optional[float] = None,
-                 endpoint_rel_threshold: float = 0.1):
+                 endpoint_rel_threshold: float = 0.1,
+                 beam_decoder=None, beam_force_final_sec: float = 30.0,
+                 forward_topk=None, beam_topk: int = 8):
         self.forward_fused = forward_fused
         self.tokenizer = tokenizer
         self.sample_rate = sample_rate
@@ -86,6 +109,19 @@ class StreamingTranscriber:
         self.committed_sec = 0.0      # committed up to this absolute time
         self.collapse = None          # built lazily (needs blank id)
         self._frame_dur = None
+        # beam-final state (see class docstring)
+        self.beam_decoder = beam_decoder
+        self.beam_force_final_sec = beam_force_final_sec
+        self.forward_topk = forward_topk
+        self.beam_topk = beam_topk
+        if beam_decoder is not None:
+            assert hasattr(beam_decoder, 'decode_one'), \
+                'streaming beam finals need a host BeamSearchDecoder ' \
+                '(decode/beam.py); the on-device beam has no decode_one'
+        self._utt_vals: typing.List[np.ndarray] = []  # matured (n, k) log-probs
+        self._utt_ids: typing.List[np.ndarray] = []   # matured (n, k) class ids
+        self._beam_fin_pos = 0        # collapse.tokens index at the last final
+        self._final_texts: typing.List[str] = []
 
     def _update_endpoint(self, chunk: np.ndarray) -> bool:
         """Track trailing silence; True when an utterance endpoint fires.
@@ -111,22 +147,34 @@ class StreamingTranscriber:
                 and self._silence_run_sec >= self.endpoint_silence_sec)
 
     def _decode_window(self):
-        """Run the model over the last `window` samples (left zero-padded)."""
+        """Run the model over the last `window` samples (left zero-padded).
+
+        Returns (idx, times, topk): topk is None on the argmax path, else
+        (vals (frames, k) f32, ids (frames, k) i64) for beam accumulation."""
         import jax.numpy as jnp
         tail = self.buf[-self.window:]
         pad = self.window - len(tail)
         x = np.zeros((1, self.window), np.float32)
         x[0, pad:] = tail
-        packed = np.asarray(self.forward_fused(
-            jnp.asarray(x), jnp.ones((1,), np.float32)))  # (1, frames, 2)
-        idx = packed[0, :, 0].astype(np.int64)
-        frames = packed.shape[1]
+        if self.beam_decoder is not None and self.forward_topk is not None:
+            packed = np.asarray(self.forward_topk(
+                jnp.asarray(x), jnp.ones((1,), np.float32),
+                self.beam_topk), np.float32)          # (1, frames, k, 2)
+            vals, ids = packed[0, :, :, 0], packed[0, :, :, 1].astype(np.int64)
+            idx, frames = ids[:, 0], packed.shape[1]  # top-1 == argmax
+            topk = (vals, ids)
+        else:
+            packed = np.asarray(self.forward_fused(
+                jnp.asarray(x), jnp.ones((1,), np.float32)))  # (1, frames, 2)
+            idx = packed[0, :, 0].astype(np.int64)
+            frames = packed.shape[1]
+            topk = None
         if self._frame_dur is None:
             self._frame_dur = self.window_sec / frames
         # absolute end-time of each frame
         window_end = self.total_sec
         times = window_end - (frames - 1 - np.arange(frames)) * self._frame_dur
-        return idx, times
+        return idx, times, topk
 
     def accept(self, chunk: np.ndarray) -> typing.List[StreamEvent]:
         """Feed a float32 mono chunk; returns [final?, interim] events."""
@@ -140,11 +188,11 @@ class StreamingTranscriber:
             self.collapse = StreamingCTCCollapse(self.tokenizer.eps_id)
 
         endpoint = self._update_endpoint(chunk)
-        idx, times = self._decode_window()
-        return self._emit(idx, times, endpoint, self.total_sec)
+        idx, times, topk = self._decode_window()
+        return self._emit(idx, times, endpoint, self.total_sec, topk=topk)
 
-    def _emit(self, idx, times, endpoint: bool,
-              end_sec: float) -> typing.List['StreamEvent']:
+    def _emit(self, idx, times, endpoint: bool, end_sec: float,
+              topk=None) -> typing.List['StreamEvent']:
         """Commit/interim split over one decoded window.
 
         `end_sec` is the stream-clock time of the last decoded frame (equals
@@ -155,14 +203,44 @@ class StreamingTranscriber:
         # at an endpoint the trailing silence IS the future context the
         # lookahead normally waits for — commit everything received
         horizon = end_sec if endpoint else end_sec - self.lookahead_sec
-        commit_mask = (times > self.committed_sec) & (times <= horizon)
-        interim_mask = times > max(horizon, self.committed_sec)
+        # quarter-frame epsilon: a frame's absolute time is recomputed from a
+        # different float sum in every window, so the last committed frame
+        # can reappear ~1e-12 s "later" — without the epsilon it would be
+        # fed twice (harmless for the greedy collapse, which dedups repeats,
+        # but a duplicated posterior row for the beam accumulator)
+        eps = 0.25 * (self._frame_dur or 0.0)
+        commit_mask = (times > self.committed_sec + eps) & (times <= horizon)
+        interim_mask = times > max(horizon, self.committed_sec + eps)
         self.endpointed = endpoint
 
         events = []
         committed_now = self.collapse.feed(idx[commit_mask])
         if commit_mask.any():
             self.committed_sec = float(times[commit_mask][-1])
+        if self.beam_decoder is not None:
+            # beam mode: greedy text is interim-only; finals come from the
+            # beam over the accumulated matured top-k at endpoint/force time
+            if topk is not None and commit_mask.any():
+                vals, ids = topk
+                self._utt_vals.append(np.asarray(vals)[commit_mask])
+                self._utt_ids.append(np.asarray(ids)[commit_mask])
+            tail = self.collapse.clone().feed(idx[interim_mask])
+            cur = self.collapse.tokens[self._beam_fin_pos:] + tail
+            if cur:
+                events.append(StreamEvent(
+                    text=self.tokenizer.decode([cur])[0],
+                    is_final=False, end_time=end_sec))
+            acc_frames = sum(len(v) for v in self._utt_vals)
+            force = (self._frame_dur is not None and acc_frames *
+                     self._frame_dur >= self.beam_force_final_sec)
+            if endpoint or force:
+                # a forced final covers only frames already past the commit
+                # horizon — stamp it with committed_sec, not the stream clock
+                ev = self._beam_final(end_sec if endpoint
+                                      else self.committed_sec)
+                if ev is not None:
+                    events.append(ev)
+            return events
         if committed_now:
             events.append(StreamEvent(
                 text=self.tokenizer.decode([committed_now])[0],
@@ -174,21 +252,57 @@ class StreamingTranscriber:
                 is_final=False, end_time=end_sec))
         return events
 
+    def _beam_final(self, end_sec: float) -> typing.Optional['StreamEvent']:
+        """Densify the utterance's accumulated top-k posteriors and decode
+        through the host beam (+LM); one final event per utterance."""
+        self._beam_fin_pos = len(self.collapse.tokens)
+        if not self._utt_vals:
+            return None
+        vals = np.concatenate(self._utt_vals).astype(np.float32)
+        ids = np.concatenate(self._utt_ids).astype(np.int64)
+        self._utt_vals, self._utt_ids = [], []
+        V = len(self.beam_decoder.labels)
+        dense = np.full((len(vals), V), BEAM_LP_FLOOR, np.float32)
+        np.put_along_axis(dense, ids, vals, axis=1)
+        hyps = self.beam_decoder.decode_one(dense)
+        tokens = hyps[0][0] if hyps else []
+        text = self.tokenizer.decode([tokens])[0] if tokens else ''
+        if not text:
+            return None
+        self._final_texts.append(text)
+        return StreamEvent(text=text, is_final=True, end_time=end_sec)
+
     def flush(self) -> typing.List[StreamEvent]:
         """End of stream: commit everything still pending."""
         if self.collapse is None or len(self.buf) == 0:
             return []
-        idx, times = self._decode_window()
-        pending = times > self.committed_sec
+        idx, times, topk = self._decode_window()
+        pending = times > self.committed_sec + 0.25 * (self._frame_dur or 0.0)
         final = self.collapse.feed(idx[pending])
         self.committed_sec = self.total_sec
+        if self.beam_decoder is not None:
+            if topk is not None and pending.any():
+                vals, ids = topk
+                self._utt_vals.append(np.asarray(vals)[pending])
+                self._utt_ids.append(np.asarray(ids)[pending])
+            ev = self._beam_final(self.total_sec)
+            return [ev] if ev is not None else []
         if final:
             return [StreamEvent(text=self.tokenizer.decode([final])[0],
                                 is_final=True, end_time=self.total_sec)]
         return []
 
     def full_text(self) -> str:
-        """All committed tokens decoded (the offline-equivalent transcript)."""
+        """All committed tokens decoded (the offline-equivalent transcript).
+
+        In beam mode: the beam finals joined with spaces (finals are
+        per-utterance texts), plus any greedy remainder not yet finalized."""
         if self.collapse is None:
             return ''
+        if self.beam_decoder is not None:
+            parts = list(self._final_texts)
+            rest = self.collapse.tokens[self._beam_fin_pos:]
+            if rest:
+                parts.append(self.tokenizer.decode([rest])[0])
+            return ' '.join(p for p in parts if p)
         return self.tokenizer.decode([self.collapse.tokens])[0]

@@ -53,12 +53,15 @@ class BatchedStreamingSession(StreamingTranscriber):
     def __init__(self, engine: 'BatchedStreamingEngine', slot: int, tokenizer,
                  lookahead_sec: float = 1.5,
                  endpoint_silence_sec: typing.Optional[float] = None,
-                 endpoint_rel_threshold: float = 0.1):
+                 endpoint_rel_threshold: float = 0.1,
+                 beam_decoder=None, beam_force_final_sec: float = 30.0):
         super().__init__(None, tokenizer, engine.sample_rate,
                          window_sec=engine.window / engine.sample_rate,
                          lookahead_sec=lookahead_sec,
                          endpoint_silence_sec=endpoint_silence_sec,
-                         endpoint_rel_threshold=endpoint_rel_threshold)
+                         endpoint_rel_threshold=endpoint_rel_threshold,
+                         beam_decoder=beam_decoder,
+                         beam_force_final_sec=beam_force_final_sec)
         self.engine = engine
         self.slot = slot
         self.window = engine.window          # exact engine alignment
@@ -84,7 +87,11 @@ class BatchedStreamingSession(StreamingTranscriber):
         events = []
         with self.engine.lock:
             ticks, self.inbox = self.inbox, []
-        for idx in ticks:
+        for entry in ticks:
+            if isinstance(entry, tuple):   # beam mode: (idx, vals, ids)
+                idx, topk = entry[0], (entry[1], entry[2])
+            else:
+                idx, topk = entry, None
             frames = len(idx)
             # fused ticks deliver only the window TAIL, so the frame duration
             # comes from the engine (window_sec / full frames), not len(idx)
@@ -100,7 +107,7 @@ class BatchedStreamingSession(StreamingTranscriber):
             # never commit past the real deposited audio: flush pads the ring
             # with zeros, and those frames are padding, not speech
             events.extend(self._emit(idx, times, endpoint,
-                                     min(end, self.total_sec)))
+                                     min(end, self.total_sec), topk=topk))
         return events
 
     def flush(self) -> list:
@@ -148,7 +155,7 @@ class BatchedStreamingEngine:
     def __init__(self, forward_fused, sample_rate: int, n_slots: int = 16,
                  window_sec: float = 10.0, chunk_sec: float = 0.32,
                  logprobs_provider=None, transport: str = 'int16',
-                 max_lookahead_sec: float = 2.0):
+                 max_lookahead_sec: float = 2.0, beam_topk: int = 0):
         self.forward_fused = forward_fused
         self.sample_rate = sample_rate
         self.n_slots = n_slots
@@ -160,6 +167,13 @@ class BatchedStreamingEngine:
         assert transport in ('int16', 'mulaw'), transport
         self.transport = transport
         self.max_lookahead_sec = max_lookahead_sec
+        # beam_topk > 0: the fused tick fetches (N, F, k, 2) f16 top-k
+        # [log-prob, class] pairs instead of (N, F) uint8 argmax ids, feeding
+        # host-side beam+LM finals (streaming.py _beam_final). Opt-in: the
+        # greedy capacity path is untouched when 0.
+        assert beam_topk == 0 or logprobs_provider is not None, \
+            'beam_topk needs the fused tick (logprobs_provider)'
+        self.beam_topk = beam_topk
         self.frame_dur = None     # window_sec / full output frames (set lazily)
         self.tail_frames = None   # fused fetch length (None = full window)
         self._tick_fused = None
@@ -171,7 +185,8 @@ class BatchedStreamingEngine:
         self.ticks = 0            # dispatch counter (tests/stats)
 
     def open(self, tokenizer, lookahead_sec: float = 1.5,
-             endpoint_silence_sec: typing.Optional[float] = None
+             endpoint_silence_sec: typing.Optional[float] = None,
+             beam_decoder=None, beam_force_final_sec: float = 30.0
              ) -> BatchedStreamingSession:
         with self.lock:
             assert self._free, f'all {self.n_slots} streaming slots busy'
@@ -181,10 +196,14 @@ class BatchedStreamingEngine:
                 assert lookahead_sec <= self.max_lookahead_sec, \
                     (f'lookahead {lookahead_sec}s exceeds the engine\'s '
                      f'max_lookahead_sec {self.max_lookahead_sec}s')
+            assert beam_decoder is None or self.beam_topk > 0, \
+                'beam sessions need an engine built with beam_topk > 0'
             slot = self._free.pop()
             s = BatchedStreamingSession(
                 self, slot, tokenizer, lookahead_sec=lookahead_sec,
-                endpoint_silence_sec=endpoint_silence_sec)
+                endpoint_silence_sec=endpoint_silence_sec,
+                beam_decoder=beam_decoder,
+                beam_force_final_sec=beam_force_final_sec)
             self.sessions[slot] = s
             return s
 
@@ -254,6 +273,9 @@ class BatchedStreamingEngine:
         self.tail_frames = F
         idx_dtype = jnp.uint8 if vocab <= 256 else jnp.int32
         mulaw = self.transport == 'mulaw'
+        K = min(self.beam_topk, vocab)
+        # float16 packs [log-prob, class-id] losslessly for ids <= 2048
+        assert K == 0 or vocab <= 2048, vocab
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _tick(weights, buf, chunk_wire, advance):
@@ -267,6 +289,13 @@ class BatchedStreamingEngine:
             new = jnp.concatenate([buf[:, C:], dec], axis=1)
             buf = jnp.where(advance[:, None], new, buf)
             lp = apply_lp(weights, buf, jnp.ones((N,), jnp.float32))
+            if K:
+                # beam mode: the tail fetch carries top-k (log-prob, id)
+                # pairs — (N, F, k, 2) f16 ≈ 4 KB/stream @ k=8 vs the 136 B
+                # uint8 argmax; top-1 doubles as the greedy/interim path
+                vals, ids = jax.lax.top_k(lp[:, frames - F:, :], K)
+                return buf, jnp.stack(
+                    [vals.astype(jnp.float16), ids.astype(jnp.float16)], -1)
             idx = jnp.argmax(lp, -1).astype(idx_dtype)
             return buf, idx[:, frames - F:]
 
@@ -310,12 +339,19 @@ class BatchedStreamingEngine:
                 sess.pending = sess.pending[self.chunk:]
                 advance[s] = True
             if self._tick_fused is not None:
-                # ONE dispatch: ring + forward + argmax + tail slice
+                # ONE dispatch: ring + forward + argmax/top-k + tail slice
                 self._buf, tail = self._tick_fused(
                     self._buf, jnp.asarray(self._encode_chunk(chunk)),
                     jnp.asarray(advance))
-                idx = np.asarray(tail)              # (N, tail_frames) uint8
                 self.ticks += 1
+                if self.beam_topk:
+                    packed = np.asarray(tail, np.float32)  # (N, F, k, 2)
+                    for s in ready:
+                        vals = packed[s, :, :, 0]
+                        ids = packed[s, :, :, 1].astype(np.int64)
+                        self.sessions[s].inbox.append((ids[:, 0], vals, ids))
+                    return len(ready)
+                idx = np.asarray(tail)              # (N, tail_frames) uint8
                 for s in ready:
                     self.sessions[s].inbox.append(idx[s].astype(np.int64))
                 return len(ready)

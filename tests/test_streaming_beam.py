@@ -1,0 +1,204 @@
+"""Streaming beam+LM finals (VERDICT r3 #1): streaming finals must EQUAL the
+offline beam decode of the same audio, on both the per-stream transcriber and
+the batched engine. The WER-improves proof (beam+LM < greedy through the
+REAL model on the streaming path) lives in test_lm_wer.py, which reuses the
+trained-corpus fixture.
+
+Spec: /root/reference/decoders.py:19-55 beam semantics; repo
+serve/streaming.py::_beam_final, serve/streaming_batch.py beam_topk tick.
+"""
+import numpy as np
+import pytest
+
+from convasr_tpu.decode.beam import BeamSearchDecoder
+from convasr_tpu.serve.streaming import StreamingTranscriber
+from convasr_tpu.serve.streaming_batch import BatchedStreamingEngine
+
+SR = 8000
+FRAME = 0.02          # 50 fps
+HOP = int(SR * FRAME)
+V = 5                 # 4 letters + blank(last)
+
+
+class FakeTokenizer:
+    LETTERS = 'abcd'
+    eps_id = 4
+    vocab = ['a', 'b', 'c', 'd', '|']
+
+    def decode(self, token_lists):
+        return [''.join(self.LETTERS[t] for t in ts if t < 4)
+                for ts in token_lists]
+
+
+def frame_logprobs(sig):
+    """Window-position-INDEPENDENT fake posteriors: each frame's class is
+    amplitude-coded at the frame center (v/10), p(class)=0.99 (sharp, so
+    the beam's summed insertion alignments can't beat confident blanks) —
+    so streaming top-k accumulation sees exactly the offline matrix.
+    Near-zero amplitude (acoustic silence, incl. window zero-padding)
+    decodes as BLANK, like a real model."""
+    frames = len(sig) // HOP
+    v = sig[np.arange(frames) * HOP + HOP // 2]
+    tok = np.where(np.abs(v) < 0.05, 4,
+                   np.round(v * 10).clip(0, 4)).astype(np.int64)
+    probs = np.full((frames, V), 0.0025, np.float32)
+    probs[np.arange(frames), tok] += 0.9875
+    return np.log(probs)
+
+
+def make_forwards():
+    def fused(x, xlen):
+        lp = frame_logprobs(np.asarray(x)[0])
+        out = np.zeros((1, len(lp), 2), np.float32)
+        out[0, :, 0] = lp.argmax(-1)
+        return out
+
+    def fused_topk(x, xlen, k):
+        lp = frame_logprobs(np.asarray(x)[0])
+        ids = np.argsort(-lp, axis=-1)[:, :k]
+        vals = np.take_along_axis(lp, ids, axis=1)
+        return np.stack([vals, ids.astype(np.float32)],
+                        -1)[None]  # (1, frames, k, 2)
+
+    return fused, fused_topk
+
+
+def synth(tokens):
+    sig = np.zeros(len(tokens) * HOP, np.float32)
+    for i, t in enumerate(tokens):
+        sig[i * HOP:(i + 1) * HOP] = t / 10.0
+    return sig
+
+
+def offline_beam_text(dec, sig):
+    tokens = dec.decode_one(frame_logprobs(sig))[0][0]
+    return FakeTokenizer().decode([tokens])[0]
+
+
+class TestPerStreamBeamEqualsOffline:
+    def run_stream(self, tokens, dec, chunk_frames=25, k=5, **kw):
+        fused, fused_topk = make_forwards()
+        st = StreamingTranscriber(
+            fused, FakeTokenizer(), SR, window_sec=2.0, lookahead_sec=0.2,
+            beam_decoder=dec, forward_topk=fused_topk, beam_topk=k, **kw)
+        sig = synth(tokens)
+        events = []
+        for start in range(0, len(tokens), chunk_frames):
+            events.extend(st.accept(
+                sig[start * HOP:(start + chunk_frames) * HOP]))
+        events.extend(st.flush())
+        return st, events, sig
+
+    @pytest.mark.parametrize('k', [5, 3])
+    def test_finals_equal_offline_beam(self, k):
+        """k=5 covers the full vocab (bit-identical posteriors); k=3 < V
+        still matches because the beam only extends cutoff_top_n<=k
+        candidates and the floor never wins."""
+        rng = np.random.RandomState(1)
+        tokens = rng.randint(0, 5, size=120).tolist()
+        dec = BeamSearchDecoder(FakeTokenizer(), beam_width=8,
+                                cutoff_top_n=min(k, 3))
+        st, events, sig = self.run_stream(tokens, dec, k=k)
+        offline = offline_beam_text(dec, sig)
+        finals = [e.text for e in events if e.is_final]
+        assert ''.join(finals) == offline
+        assert st.full_text() == offline
+
+    def test_long_stream_slides_window(self):
+        """Utterance far longer than the window: top-k accumulation is
+        host-side, so the beam still sees every frame."""
+        rng = np.random.RandomState(2)
+        tokens = rng.randint(0, 5, size=400).tolist()  # 8 s > 2 s window
+        dec = BeamSearchDecoder(FakeTokenizer(), beam_width=8, cutoff_top_n=3)
+        st, events, sig = self.run_stream(tokens, dec, chunk_frames=50)
+        assert ''.join(e.text for e in events if e.is_final) \
+            == offline_beam_text(dec, sig)
+
+    def test_greedy_demoted_to_interim(self):
+        rng = np.random.RandomState(3)
+        tokens = rng.randint(0, 5, size=120).tolist()
+        dec = BeamSearchDecoder(FakeTokenizer(), beam_width=8, cutoff_top_n=3)
+        st, events, _ = self.run_stream(tokens, dec)
+        finals = [e for e in events if e.is_final]
+        interims = [e for e in events if not e.is_final]
+        assert len(finals) == 1          # only the flush finalizes (no VAD)
+        assert interims                  # greedy text streams as interim
+
+    def test_forced_final_bounds_utterance(self):
+        rng = np.random.RandomState(4)
+        # blank-isolated letters: a forced split can never straddle a
+        # repeated character, so split beam decodes == the offline decode
+        letters = rng.randint(0, 4, size=150)
+        tokens = np.stack([letters, np.full(150, 4)], 1).reshape(-1).tolist()
+        dec = BeamSearchDecoder(FakeTokenizer(), beam_width=8, cutoff_top_n=3)
+        st, events, sig = self.run_stream(tokens, dec, chunk_frames=50,
+                                          beam_force_final_sec=2.0)
+        finals = [e for e in events if e.is_final]
+        assert len(finals) >= 2          # forced mid-stream finals
+        assert ''.join(e.text for e in finals) == offline_beam_text(dec, sig)
+
+
+class TestBatchedEngineBeamEqualsOffline:
+    CHUNK_SEC = 0.32     # 16 frames
+
+    def make_engine(self, n_slots=2, k=5):
+        import jax
+        import jax.numpy as jnp
+
+        def apply_lp(w, x, xlen):
+            N, W = x.shape
+            frames = W // HOP
+            v = x[:, :frames * HOP].reshape(N, frames, HOP)[:, :, HOP // 2]
+            tok = jnp.where(jnp.abs(v) < 0.05, 4,
+                            jnp.round(v * 10).clip(0, 4)).astype(jnp.int32)
+            probs = jax.nn.one_hot(tok, V) * 0.9875 + 0.0025
+            return jnp.log(probs)
+
+        provider = lambda: (apply_lp, lambda: {})
+        return BatchedStreamingEngine(
+            None, SR, n_slots=n_slots, window_sec=2.0,
+            chunk_sec=self.CHUNK_SEC, logprobs_provider=provider,
+            beam_topk=k)
+
+    def test_batched_finals_equal_offline_and_per_stream(self):
+        rng = np.random.RandomState(5)
+        engine = self.make_engine()
+        dec = BeamSearchDecoder(FakeTokenizer(), beam_width=8, cutoff_top_n=3)
+        chunk = int(SR * self.CHUNK_SEC)
+        sigs = [synth(rng.randint(0, 5, size=160).tolist()) for _ in range(2)]
+        sessions = [engine.open(FakeTokenizer(), lookahead_sec=0.2,
+                                beam_decoder=dec) for _ in sigs]
+        finals = [[] for _ in sigs]
+        for start in range(0, len(sigs[0]), chunk):
+            for s, sig in zip(sessions, sigs):
+                s.accept(sig[start:start + chunk])
+            engine.tick()
+            for i, s in enumerate(sessions):
+                finals[i].extend(e.text for e in s.drain() if e.is_final)
+        for i, s in enumerate(sessions):
+            finals[i].extend(e.text for e in s.flush() if e.is_final)
+        for i, sig in enumerate(sigs):
+            assert ''.join(finals[i]) == offline_beam_text(dec, sig), i
+
+    def test_endpoint_emits_beam_final(self):
+        """VAD endpoint: the beam final covers exactly the endpointed
+        utterance, and a following utterance gets its own final."""
+        engine = self.make_engine(n_slots=1)
+        dec = BeamSearchDecoder(FakeTokenizer(), beam_width=8, cutoff_top_n=3)
+        s = engine.open(FakeTokenizer(), lookahead_sec=0.2, beam_decoder=dec,
+                        endpoint_silence_sec=0.4)
+        chunk = int(SR * self.CHUNK_SEC)
+        # 'bc' then 1 s silence (-> endpoint final), then 'd'
+        sig = np.concatenate([
+            synth([1] * 8 + [2] * 8), np.zeros(SR, np.float32),
+            synth([3] * 8)])
+        pad = (-len(sig)) % chunk
+        sig = np.concatenate([sig, np.zeros(pad, np.float32)])
+        finals = []
+        for start in range(0, len(sig), chunk):
+            s.accept(sig[start:start + chunk])
+            engine.tick()
+            finals.extend(e.text for e in s.drain() if e.is_final)
+        assert finals and finals[0] == 'bc'   # endpoint fired mid-stream
+        finals.extend(e.text for e in s.flush() if e.is_final)
+        assert ''.join(finals) == 'bcd'

@@ -17,6 +17,10 @@ import sys
 import numpy as np
 import pytest
 
+# every test here spawns 2 OS processes with fresh jax/XLA inits — the
+# heaviest tail of the suite (200-500 s each on the 1-core CI host)
+pytestmark = pytest.mark.slow
+
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 

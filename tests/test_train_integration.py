@@ -211,6 +211,7 @@ class TestTensorParallel:
         np.testing.assert_allclose(float(m_ref['loss']), float(m_tp['loss']), rtol=1e-5)
 
 
+@pytest.mark.slow
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import sys, pathlib

@@ -14,6 +14,8 @@ import argparse
 import json
 import logging
 import os
+import signal
+import threading
 import time
 
 import numpy as np
@@ -496,6 +498,21 @@ def evaluate_model(args, model, state, val_datasets, generator, text_pipelines,
     return results
 
 
+# Preemption safety (VERDICT r3 #9): TPU pods are preemptible — the scheduler
+# sends SIGTERM with a grace window before killing the VM. The handler only
+# sets this event (async-signal-safe); the train loop notices it at the next
+# iteration-group boundary, runs a SYNCHRONOUS orbax save (params + opt state
+# + sampler position, the same payload as boundary checkpoints, so the normal
+# --checkpoint resume path continues the trajectory bit-equal) and exits 0.
+# Reference fault story: OOM retry, utils.py:126-151 — preemption is the TPU
+# analog of that recoverable-interruption class.
+_PREEMPT = threading.Event()
+
+
+def _on_preempt_signal(signum, frame):
+    _PREEMPT.set()
+
+
 def main(args):
     # rbg = the hardware RNG path: threefry dropout-mask generation costs
     # 58 ms/step on JasperNetBig B=64 (182 -> 133 ms/step measured on the
@@ -504,10 +521,18 @@ def main(args):
     # The global config is restored on exit (in-process callers, tests).
     prev_prng = jax.config.jax_default_prng_impl
     jax.config.update('jax_default_prng_impl', getattr(args, 'prng', 'rbg'))
+    _PREEMPT.clear()
+    prev_sigterm = None
+    try:
+        prev_sigterm = signal.signal(signal.SIGTERM, _on_preempt_signal)
+    except ValueError:
+        pass  # not the main thread (embedded callers keep their handler)
     try:
         return _main(args)
     finally:
         jax.config.update('jax_default_prng_impl', prev_prng)
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
 
 
 def _main(args):
@@ -1071,9 +1096,27 @@ def _main(args):
             toc = time.time()
             at_boundary = (args.val_iteration_interval
                            and iteration % args.val_iteration_interval == 0)
-            if at_boundary or args.dry or \
+            preempted = _PREEMPT.is_set()
+            if at_boundary or preempted or args.dry or \
                     (args.iterations and iteration >= args.iterations):
                 flush_logs()
+            if preempted:
+                # SIGTERM (pod preemption): synchronous save, clean exit;
+                # --checkpoint <this path> resumes the trajectory bit-equal
+                # (threefry; rbg streams are program-dependent, see --prng)
+                if not args.checkpoint_skip:
+                    path = ckpt_lib.checkpoint_path(
+                        args.experiment_dir, epoch, iteration,
+                        template=args.checkpoint_format)
+                    ckpt_lib.save_checkpoint(
+                        path, jax.device_get(state), epoch=epoch,
+                        sampler_state=sampler.state_dict(), args=vars(args))
+                    _print(f'SIGTERM: preemption checkpoint saved to {path} '
+                           f'at iter {iteration}; exiting cleanly')
+                else:
+                    _print('SIGTERM: --checkpoint-skip set, exiting cleanly '
+                           'WITHOUT a preemption checkpoint')
+                break
             if at_boundary:
                 # ALL ranks evaluate their strided share of the val batches
                 # and join the allgather; rank 0 aggregates/prints.

@@ -444,3 +444,102 @@ class TestDeviceCacheSpecAugment:
                             for l in open(tmp_path / mode / 'smoke' / 'log.json')]
         assert all(np.isfinite(losses['aug'])), losses['aug']
         assert losses['aug'] != losses['plain'], 'spec-augment had no effect'
+
+
+class TestPreemption:
+    def test_sigterm_saves_checkpoint_and_resume_matches(
+            self, corpus, monkeypatch, tmp_path):
+        """Preemption safety (VERDICT r3 #9): a REAL SIGTERM mid-training
+        triggers a synchronous orbax save + clean exit (no exception), and
+        resuming from the preemption checkpoint continues the trajectory
+        bit-equal to an uninterrupted run. The signal is raised through the
+        OS (os.kill) so the installed handler — not a test shim — sets the
+        stop event. Reference fault story: OOM retry utils.py:126-151."""
+        import signal as _signal
+        from convasr_tpu.cli import train as train_cli
+        from convasr_tpu.models import zoo
+        orig = zoo.create_model
+
+        def small_create(name, **kw):
+            kw.setdefault('base_width', 8)
+            return orig(name, **kw)
+        monkeypatch.setattr(zoo, 'create_model', small_create)
+        monkeypatch.setattr(train_cli, 'create_model', small_create)
+
+        tmp, train_json, val_json = corpus
+
+        # uninterrupted baseline, 5 iters
+        args = make_args(tmp, train_json, val_json,
+                         experiments_dir=str(tmp_path / 'base'),
+                         iterations=5, val_iteration_interval=0, epochs=4,
+                         checkpoint_skip=True, dropout=0.0, num_workers=0)
+        train_cli.main(args)
+        base = [json.loads(l)['loss']
+                for l in open(tmp_path / 'base' / 'smoke' / 'log.json')]
+        assert len(base) == 5
+
+        # preempted run: deliver SIGTERM while iteration 3 is being formed
+        orig_keys = train_cli.host_fold_in_keys
+
+        def keys_with_sigterm(seed, its):
+            if max(its) + 1 >= 3:
+                os.kill(os.getpid(), _signal.SIGTERM)
+            return orig_keys(seed, its)
+        monkeypatch.setattr(train_cli, 'host_fold_in_keys', keys_with_sigterm)
+        args = make_args(tmp, train_json, val_json,
+                         experiments_dir=str(tmp_path / 'pre'),
+                         iterations=5, val_iteration_interval=0, epochs=4,
+                         dropout=0.0, num_workers=0)
+        args.checkpoint_skip = False
+        train_cli.main(args)  # clean return — SIGTERM must NOT kill us
+        monkeypatch.setattr(train_cli, 'host_fold_in_keys', orig_keys)
+
+        log_path = tmp_path / 'pre' / 'smoke' / 'log.json'
+        pre = [json.loads(l) for l in open(log_path)]
+        stopped_at = max(l['iteration'] for l in pre)
+        assert 3 <= stopped_at < 5, pre
+        ckpts = sorted((tmp_path / 'pre' / 'smoke').glob(
+            'checkpoint_epoch*_iter*'))
+        # epoch-end boundary saves may exist too; the preemption save is the
+        # one stamped with the mid-epoch iteration the run stopped at
+        assert ckpts and ckpts[-1].name.endswith(f'iter{stopped_at:07d}'), \
+            (ckpts, stopped_at)
+
+        # resume from the preemption checkpoint -> iters continue to 5
+        args = make_args(tmp, train_json, val_json,
+                         experiments_dir=str(tmp_path / 'pre'),
+                         iterations=5, val_iteration_interval=0, epochs=4,
+                         checkpoint_skip=True, dropout=0.0, num_workers=0)
+        args.checkpoint = str(ckpts[-1])
+        train_cli.main(args)
+        merged = [json.loads(l) for l in open(log_path)]
+        losses = {l['iteration']: l['loss'] for l in merged}
+        assert sorted(losses) == [1, 2, 3, 4, 5]
+        np.testing.assert_allclose([losses[i] for i in range(1, 6)], base,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_sigterm_handler_restored_after_main(self, corpus, monkeypatch):
+        """main() must restore the caller's SIGTERM disposition on exit
+        (in-process callers, tests, serving co-residents)."""
+        import signal as _signal
+        from convasr_tpu.cli import train as train_cli
+        from convasr_tpu.models import zoo
+        orig = zoo.create_model
+
+        def small_create(name, **kw):
+            kw.setdefault('base_width', 8)
+            return orig(name, **kw)
+        monkeypatch.setattr(zoo, 'create_model', small_create)
+        monkeypatch.setattr(train_cli, 'create_model', small_create)
+        sentinel = lambda s, f: None  # noqa: E731
+        prev = _signal.signal(_signal.SIGTERM, sentinel)
+        try:
+            tmp, train_json, val_json = corpus
+            args = make_args(tmp, train_json, val_json, iterations=1,
+                             val_iteration_interval=0, checkpoint_skip=True,
+                             dropout=0.0, num_workers=0,
+                             experiments_dir=str(tmp / 'exp_sig'))
+            train_cli.main(args)
+            assert _signal.getsignal(_signal.SIGTERM) is sentinel
+        finally:
+            _signal.signal(_signal.SIGTERM, prev)

@@ -558,10 +558,33 @@ def main(args, ext_json=('.json', '.json.gz')):
                 **transcripts.summary(hyp_seg),
                 cer=cer_fn(hyp=h, ref=r)))
 
-        # --speakers names the channels (dead in the reference: parsed at
-        # transcribe.py:340 but never read; honored here)
-        transcripts.collect_speaker_names(transcript, speaker_names=args.speakers or [],
-                                          set_speaker_data=True, num_speakers=2)
+        # --diarize: mono multi-speaker attribution (the reference's pyannote
+        # speaker hack, transcribe.py:208-222) — cluster the audio into
+        # speaker turns (audio/diarization.py::diarize_mono) and stamp each
+        # segment with its majority speaker; --speakers then names speaker
+        # ids instead of channels
+        if getattr(args, 'diarize', False) and transcript:
+            from ..audio.diarization import diarize_mono
+            sig_d, sr_d = audio_io.read_audio(
+                audio_path, sample_rate=args.sample_rate, mono=True)
+            spk = diarize_mono(sig_d[0], sr_d, num_speakers=2)
+            names = [transcripts.speaker_name_missing] + list(args.speakers or [])
+            for t in transcript:
+                span = spk[int(t['begin'] * sr_d):
+                           max(int(t['end'] * sr_d), int(t['begin'] * sr_d) + 1)]
+                span = span[span > 0]
+                t['speaker'] = int(np.bincount(span).argmax()) if len(span) \
+                    else transcripts.speaker_missing
+                t['speaker_name'] = names[t['speaker']] \
+                    if t['speaker'] < len(names) \
+                    else transcripts.default_speaker_names[t['speaker']]
+            transcripts.collect_speaker_names(transcript, set_speaker_data=False,
+                                              num_speakers=2)
+        else:
+            # --speakers names the channels (dead in the reference: parsed at
+            # transcribe.py:340 but never read; honored here)
+            transcripts.collect_speaker_names(transcript, speaker_names=args.speakers or [],
+                                              set_speaker_data=True, num_speakers=2)
         filtered = list(transcripts.prune(
             transcript, align_boundary_words=args.align_boundary_words,
             cer=args.prune_cer, duration=args.prune_duration, gap=args.prune_gap,
@@ -737,7 +760,15 @@ def build_parser():
                              'checkpoint args')
     parser.add_argument('--speakers', nargs='*', default=None,
                         help='speaker names per channel (reference parses but '
-                             'never reads this, transcribe.py:340)')
+                             'never reads this, transcribe.py:340); with '
+                             '--diarize: names per diarized speaker id')
+    parser.add_argument('--diarize', action='store_true',
+                        help='mono multi-speaker attribution: cluster the '
+                             'audio into speaker turns and stamp each output '
+                             'segment with its majority speaker (the '
+                             'reference\'s pyannote speaker hack, '
+                             'transcribe.py:208-222; in-repo stand-in '
+                             'audio/diarization.py::diarize_mono)')
     parser.add_argument('--dataset-string-array-encoding', default='utf_16_le',
                         choices=['utf_16_le', 'utf_32_le'])
     parser.add_argument('--window-size-dilate', type=float, default=None,

@@ -265,13 +265,35 @@ struct NgramLM {
 };
 
 // ---------------- prefix beam search ----------------
+//
+// Prefix identity lives in a TRIE ARENA (parent-pointer nodes), not in
+// per-beam vectors: extending a beam is O(1) amortized (child-list walk over
+// the few candidates) instead of the naive O(prefix_len) string-key/copy —
+// the naive form is O(T^2 * beam * cand) over an utterance and measured
+// ~370 ms for 6 s of audio at beam 16 on this host; the trie form is
+// O(T * beam * cand). Same idea as ctcdecode's PathTrie.
+
+struct TrieNode {
+  int parent;             // node id, -1-rooted chain gives the prefix
+  int ch;                 // label id (-1 at root)
+  int first_child = -1;   // intrusive child list (at most ~cand children)
+  int next_sibling = -1;
+  int words = -1;         // LM word-context id (WordCtx arena), lazy
+  float lm_score = 0.0f;  // accumulated alpha*lm + beta (prefix-determined)
+  int stamp = -1;         // frame stamp: already has a next-beam this frame
+  int slot = -1;          // its index in `next` when stamp matches
+};
+
+struct WordCtx {          // completed-word history as a parent-pointer chain
+  int parent;
+  int word_id;
+};
 
 struct Beam {
-  std::vector<int> prefix;      // token ids (chars)
-  std::vector<int> words;       // completed word ids for LM context
-  float p_b = kNegInf;          // log prob ending in blank
-  float p_nb = kNegInf;         // log prob ending in non-blank
-  float lm_score = 0.0f;        // accumulated alpha*lm + beta*word_count
+  int node;               // prefix identity (trie arena id)
+  float p_b = kNegInf;    // log prob ending in blank
+  float p_nb = kNegInf;   // log prob ending in non-blank
+  float lm_score = 0.0f;  // copy of node lm_score (ordering hot path)
 
   float total() const { return logsumexp(p_b, p_nb) + lm_score; }
 };
@@ -287,13 +309,55 @@ struct Decoder {
   float cutoff_prob;
 
   // NOTE: the LM context (completed words + accumulated alpha*lm + beta
-  // bonuses) is a DETERMINISTIC function of the prefix, so it is initialized
-  // exactly once when a prefix first appears, regardless of which parent
-  // created it.
+  // bonuses) is a DETERMINISTIC function of the prefix, so it is computed
+  // exactly once when a prefix node is created, regardless of which parent
+  // created it or in which frame.
   std::vector<std::pair<std::vector<int>, float>> decode(
       const float* log_probs, int T, int C, int topk) {
+    std::vector<TrieNode> trie(1);
+    trie[0].parent = -1;
+    trie[0].ch = -1;
+    std::vector<WordCtx> wctx;  // node.words == -1 means empty history
+
+    auto find_or_create_child = [&](int node, int c) -> int {
+      for (int k = trie[node].first_child; k >= 0; k = trie[k].next_sibling)
+        if (trie[k].ch == c) return k;
+      int id = static_cast<int>(trie.size());
+      trie.push_back(TrieNode());
+      TrieNode& n = trie.back();
+      n.parent = node;
+      n.ch = c;
+      n.next_sibling = trie[node].first_child;
+      trie[node].first_child = id;
+      // LM fusion at word boundaries (decoders.py:19-55 alpha/beta rule):
+      // a space closes the word spelled since the previous space
+      n.words = trie[node].words;
+      n.lm_score = trie[node].lm_score;
+      if (c == space_id && has_lm) {
+        std::string word;
+        for (int k = node; k >= 0 && trie[k].ch >= 0 &&
+                           trie[k].ch != space_id; k = trie[k].parent)
+          word = labels[trie[k].ch] + word;
+        if (!word.empty()) {
+          int wid = static_cast<int>(wctx.size());
+          wctx.push_back(WordCtx{trie[node].words, lm.word_id(word)});
+          n.words = wid;
+          // score the word given the last (order-1) context words
+          std::vector<int> ids;
+          for (int w = wid; w >= 0 && static_cast<int>(ids.size()) < lm.order;
+               w = wctx[w].parent)
+            ids.push_back(wctx[w].word_id);
+          std::reverse(ids.begin(), ids.end());
+          n.lm_score += alpha * lm.score(ids) + beta;
+        }
+      }
+      return id;
+    };
+
     std::vector<Beam> beams(1);
+    beams[0].node = 0;
     beams[0].p_b = 0.0f;
+    std::vector<Beam> next;
 
     std::vector<int> cand(C);
     for (int t = 0; t < T; ++t) {
@@ -313,76 +377,69 @@ struct Decoder {
         ncand = std::max(1, keep);
       }
 
-      std::unordered_map<std::string, size_t> index;
-      std::vector<Beam> next;
+      next.clear();
       next.reserve(beams.size() * (ncand + 1));
 
-      // ext_char < 0: same prefix as parent. ext_char >= 0: prefix =
-      // parent.prefix + ext_char (LM bonus applied if ext_char is space).
-      auto get_next = [&](const Beam& parent, const std::vector<int>& prefix,
-                          int ext_char) -> Beam& {
-        std::string k;
-        k.reserve(prefix.size() * 3);
-        for (int id : prefix) { k += std::to_string(id); k.push_back(','); }
-        auto it = index.find(k);
-        if (it != index.end()) return next[it->second];
-        index.emplace(std::move(k), next.size());
+      // frame-local dedup by trie node: the stamp marks nodes that already
+      // have a next-beam this frame (slot = its index in `next`)
+      auto slot_for = [&](int node) -> int {
+        TrieNode& n = trie[node];
+        if (n.stamp == t) return n.slot;
+        n.stamp = t;
+        n.slot = static_cast<int>(next.size());
         next.push_back(Beam());
-        Beam& b = next.back();
-        b.prefix = prefix;
-        b.words = parent.words;
-        b.lm_score = parent.lm_score;
-        if (ext_char == space_id && has_lm) {
-          std::string word;
-          for (size_t i = parent.prefix.size(); i-- > 0;) {
-            if (parent.prefix[i] == space_id) break;
-            word = labels[parent.prefix[i]] + word;
-          }
-          if (!word.empty()) {
-            b.words.push_back(lm.word_id(word));
-            b.lm_score += alpha * lm.score(b.words) + beta;
-          }
-        }
-        return b;
+        next.back().node = node;
+        next.back().lm_score = n.lm_score;
+        return n.slot;
       };
 
       for (const Beam& beam : beams) {
         float p_total = logsumexp(beam.p_b, beam.p_nb);
+        int last = trie[beam.node].ch;
         for (int ci = 0; ci < ncand; ++ci) {
           int c = cand[ci];
           float p = lp[c];
           if (c == blank_id) {
-            Beam& nb = get_next(beam, beam.prefix, -1);
+            Beam& nb = next[slot_for(beam.node)];
             nb.p_b = logsumexp(nb.p_b, p_total + p);
-          } else if (!beam.prefix.empty() && c == beam.prefix.back()) {
+          } else if (c == last) {
             // repeated char: continues the same prefix from p_nb; starts a
             // new (doubled) char only across a blank
-            Beam& same = get_next(beam, beam.prefix, -1);
+            Beam& same = next[slot_for(beam.node)];
             same.p_nb = logsumexp(same.p_nb, beam.p_nb + p);
             if (beam.p_b > kNegInf / 2) {
-              std::vector<int> ext = beam.prefix;
-              ext.push_back(c);
-              Beam& nb = get_next(beam, ext, c);
+              int child = find_or_create_child(beam.node, c);
+              Beam& nb = next[slot_for(child)];
               nb.p_nb = logsumexp(nb.p_nb, beam.p_b + p);
             }
           } else {
-            std::vector<int> ext = beam.prefix;
-            ext.push_back(c);
-            Beam& nb = get_next(beam, ext, c);
+            int child = find_or_create_child(beam.node, c);
+            Beam& nb = next[slot_for(child)];
             nb.p_nb = logsumexp(nb.p_nb, p_total + p);
           }
         }
       }
 
-      std::sort(next.begin(), next.end(),
-                [](const Beam& a, const Beam& b) { return a.total() > b.total(); });
-      if (static_cast<int>(next.size()) > beam_width) next.resize(beam_width);
+      if (static_cast<int>(next.size()) > beam_width) {
+        std::nth_element(next.begin(), next.begin() + beam_width, next.end(),
+                         [](const Beam& a, const Beam& b) {
+                           return a.total() > b.total();
+                         });
+        next.resize(beam_width);
+      }
       beams.swap(next);
     }
 
+    std::sort(beams.begin(), beams.end(),
+              [](const Beam& a, const Beam& b) { return a.total() > b.total(); });
     std::vector<std::pair<std::vector<int>, float>> out;
-    for (int i = 0; i < std::min<int>(topk, beams.size()); ++i)
-      out.emplace_back(beams[i].prefix, beams[i].total());
+    for (int i = 0; i < std::min<int>(topk, beams.size()); ++i) {
+      std::vector<int> prefix;
+      for (int k = beams[i].node; k > 0; k = trie[k].parent)
+        prefix.push_back(trie[k].ch);
+      std::reverse(prefix.begin(), prefix.end());
+      out.emplace_back(std::move(prefix), beams[i].total());
+    }
     return out;
   }
 };

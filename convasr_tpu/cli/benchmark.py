@@ -173,17 +173,101 @@ def main(args):
         def run():
             return fwd(variables, x, xlen)
 
-    chained_fwd = args.chained and not args.backward and not args.stablehlo
+    decoder = None
+    if args.decoder == 'BeamSearchDecoder':
+        # end-to-end RTF of the accuracy-flagship configuration (VERDICT r3
+        # #3): device forward + host C++ prefix beam (+ ARPA/CNLM LM,
+        # decode/beam.py). The device fetch is top-k (log-prob, id) pairs —
+        # the beam only ever extends cutoff_top_n candidates, so decoding a
+        # densified top-k matrix equals the full-posterior decode for
+        # cutoff_top_n <= k (equality proven in tests/test_streaming_beam.py)
+        # while shrinking the tunnel fetch ~C/k-fold. Reference methodology:
+        # benchmark.py:194-221 (RTF over the full pipeline).
+        from ..decode.beam import BeamSearchDecoder
+        from ..serve.streaming import BEAM_LP_FLOOR
+
+        class _Tok:
+            vocab = ['.'] * (args.num_classes - 1) + ['|']
+            eps_id = args.num_classes - 1
+        try:
+            # real alphabet (LM lookups hit actual char strings)
+            from ..text import ProcessingPipeline
+            config = ProcessingPipeline.load_config(args.text_config)
+            tok = ProcessingPipeline.make(config, 'char_legacy').tokenizer
+            if len(tok.vocab) != args.num_classes:
+                tok = _Tok()
+        except Exception:
+            tok = _Tok()
+        decoder = BeamSearchDecoder(
+            tok, lm_path=args.lm, beam_width=args.beam_width,
+            beam_alpha=args.beam_alpha, beam_beta=args.beam_beta,
+            cutoff_top_n=args.beam_cutoff_top_n,
+            num_workers=args.decoder_workers)
+        K = min(max(args.beam_cutoff_top_n, 1), args.num_classes)
+
+        if qtree is not None:
+            @jax.jit
+            def fwd_topk(qt, x, xlen):
+                lp = quantized_apply(model, qt, x, xlen=xlen)['log_probs'][0]
+                vals, ids = jax.lax.top_k(lp, K)
+                return jnp.stack([vals.astype(jnp.float16),
+                                  ids.astype(jnp.float16)], -1)
+
+            def dispatch():
+                return fwd_topk(qtree, x, xlen)
+        else:
+            @jax.jit
+            def fwd_topk(v, x, xlen):
+                lp = model.apply(v, x, xlen=xlen)['log_probs'][0]
+                vals, ids = jax.lax.top_k(lp, K)
+                return jnp.stack([vals.astype(jnp.float16),
+                                  ids.astype(jnp.float16)], -1)
+
+            def dispatch():
+                return fwd_topk(variables, x, xlen)
+
+        decode_seconds = []
+
+        def beam_decode(dev_out):
+            packed = np.asarray(dev_out, np.float32)       # (B, T', K, 2)
+            vals, ids = packed[..., 0], packed[..., 1].astype(np.int64)
+            dense = np.full(packed.shape[:2] + (args.num_classes,),
+                            BEAM_LP_FLOOR, np.float32)
+            np.put_along_axis(dense, ids, vals, axis=2)
+            tic = time.perf_counter()
+            out = decoder.decode(dense)
+            decode_seconds.append(time.perf_counter() - tic)
+            return out
+
+    chained_fwd = args.chained and not args.backward and not args.stablehlo \
+        and decoder is None
     print(f'warming up {args.warmup_iterations} iterations...')
     tic = time.time()
-    for _ in range(1 if chained_fwd else args.warmup_iterations):
-        np.asarray(run()).reshape(-1)[:1]
+    if decoder is not None:
+        beam_decode(dispatch())  # compile + beam warm in one pass
+        decode_seconds.clear()
+    else:
+        for _ in range(1 if chained_fwd else args.warmup_iterations):
+            np.asarray(run()).reshape(-1)[:1]
     print(f'warmup done in {time.time() - tic:.1f} sec')
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
-    if chained_fwd:
+    if decoder is not None:
+        # one-ahead pipeline (the transcribe CLI's shape): the device runs
+        # iteration i+1 while the host beam decodes iteration i; RTF counts
+        # the full wall clock, so whichever side binds shows up honestly
+        tic = time.perf_counter()
+        pending = dispatch()
+        for _ in range(args.iterations - 1):
+            nxt = dispatch()
+            beam_decode(pending)
+            pending = nxt
+        beam_decode(pending)
+        wall = time.perf_counter() - tic
+        times = np.full(args.iterations, wall / args.iterations)
+    elif chained_fwd:
         # one dispatch runs all iterations on device; per-iter = elapsed/iters
         tic = time.perf_counter()
         np.asarray(run()).reshape(-1)[:1]
@@ -203,6 +287,13 @@ def main(args):
     total_audio = args.B * example_seconds * args.iterations
     rtf = total_audio / times.sum()
     kind = 'fwd+bwd' if args.backward else ('fwd-int8' if args.quantize else 'fwd')
+    if decoder is not None:
+        kind += '+beam' + ('+lm' if args.lm else '')
+        dec = np.asarray(decode_seconds)
+        print(f'host beam decode: mean {dec.mean() * 1e3:.1f} ms/batch '
+              f'({dec.mean() * 1e3 / args.B:.2f} ms/utt, '
+              f'{args.decoder_workers} worker(s)) — decode-only RTF '
+              f'{args.B * example_seconds / dec.mean():.1f}')
     print(f'{kind}: mean {times.mean() * 1e3:.2f} ms | p50 '
           f'{np.percentile(times, 50) * 1e3:.2f} | min {times.min() * 1e3:.2f}')
     print(f'RTF: {rtf:.1f} audio-sec/sec')
@@ -271,6 +362,25 @@ def build_parser():
                         help='directory for the jax.profiler (Perfetto) trace')
     parser.add_argument('--window', default='hann_window',
                         help='frontend window function')
+    parser.add_argument('--decoder', default=None,
+                        choices=['BeamSearchDecoder'],
+                        help='end-to-end RTF incl. the host C++ beam '
+                             '(one-ahead pipelined with the device forward); '
+                             'default = forward only (greedy argmax rides '
+                             'the device, see transcribe --fused)')
+    parser.add_argument('--lm', default=None,
+                        help='ARPA(.gz)/CNLM-binary LM for --decoder')
+    parser.add_argument('--beam-width', type=int, default=128)
+    parser.add_argument('--beam-alpha', type=float, default=0.4)
+    parser.add_argument('--beam-beta', type=float, default=1.0)
+    parser.add_argument('--beam-cutoff-top-n', type=int, default=8,
+                        help='beam candidate cutoff; also the top-k fetched '
+                             'per frame from the device')
+    parser.add_argument('--decoder-workers', type=int,
+                        default=max(os.cpu_count() or 1, 1),
+                        help='host beam threads (C++ decode releases the GIL)')
+    parser.add_argument('--text-config', default='configs/ru_text_config.json',
+                        help='tokenizer alphabet for --decoder LM lookups')
     parser.add_argument('--output-tsv', '--output-path', '-o', dest='output_tsv')
     return parser
 

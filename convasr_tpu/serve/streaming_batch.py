@@ -166,6 +166,7 @@ class BatchedStreamingEngine:
         self.logprobs_provider = logprobs_provider
         assert transport in ('int16', 'mulaw'), transport
         self.transport = transport
+        self._mulaw_lut = None      # built on first mu-law encode
         self.max_lookahead_sec = max_lookahead_sec
         # beam_topk > 0: the fused tick fetches (N, F, k, 2) f16 top-k
         # [log-prob, class] pairs instead of (N, F) uint8 argmax ids, feeding
@@ -303,9 +304,18 @@ class BatchedStreamingEngine:
 
     def _encode_chunk(self, chunk_i16: np.ndarray) -> np.ndarray:
         if self.transport == 'mulaw':
-            xc = chunk_i16.astype(np.float32) / 32767.0
-            y = np.sign(xc) * np.log1p(MULAW_MU * np.abs(xc)) / np.log1p(MULAW_MU)
-            return (y * 127.0 + 128.0).round().astype(np.uint8)
+            # 64K-entry LUT indexed by the int16 bit pattern: bit-exact to
+            # the companding formula but a single uint8 gather (~mem speed).
+            # The float formula per tick was the host cost that erased the
+            # mu-law wire win in r3 (CLAUDE.md); the LUT removes it.
+            if self._mulaw_lut is None:
+                xc = np.arange(65536, dtype=np.uint16).view(np.int16) \
+                    .astype(np.float32) / 32767.0
+                y = np.sign(xc) * np.log1p(MULAW_MU * np.abs(xc)) \
+                    / np.log1p(MULAW_MU)
+                self._mulaw_lut = (y * 127.0 + 128.0).round().astype(np.uint8)
+            return self._mulaw_lut[
+                np.ascontiguousarray(chunk_i16).view(np.uint16)]
         return chunk_i16
 
     def _zero_slot(self, slot: int):

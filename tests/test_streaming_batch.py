@@ -224,6 +224,24 @@ class TestFusedTick:
         for s, tokens in enumerate(token_streams):
             assert sessions[s].full_text() == letters(tokens), s
 
+    def test_mulaw_lut_matches_float_formula(self):
+        """The 64K-LUT encoder (r4: removes the per-tick float companding
+        that erased the mu-law wire win) must be bit-exact to the formula."""
+        from convasr_tpu.serve.streaming_batch import MULAW_MU
+        eng = BatchedStreamingEngine(
+            None, SR, n_slots=1, window_sec=2.0, chunk_sec=0.5,
+            logprobs_provider=make_fake_logprobs_provider(),
+            transport='mulaw')
+        rng = np.random.RandomState(9)
+        x = np.concatenate([
+            rng.randint(-32768, 32768, size=5000),
+            [-32768, -1, 0, 1, 32767]]).astype(np.int16).reshape(1, -1)
+        got = eng._encode_chunk(x)
+        xc = x.astype(np.float32) / 32767.0
+        y = np.sign(xc) * np.log1p(MULAW_MU * np.abs(xc)) / np.log1p(MULAW_MU)
+        want = (y * 127.0 + 128.0).round().astype(np.uint8)
+        np.testing.assert_array_equal(got, want)
+
     def test_lookahead_over_max_rejected(self):
         eng = BatchedStreamingEngine(
             None, SR, n_slots=1, window_sec=2.0, chunk_sec=0.5,

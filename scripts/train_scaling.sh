@@ -51,14 +51,22 @@ for B in 64 128 256 512; do
     --val-config configs/ru_val_config.json $REMAT 2>&1 \
     | grep -E "step |cache|OOM|RESOURCE" | tail -6
   python - $EXP/scale/log.txt $B << 'EOF'
-import re, sys
-lines = open(sys.argv[1]).read().splitlines()
-ms = [float(m.group(1)) for l in lines if (m := re.search(r'step (\d+)ms', l))]
-tail = ms[len(ms)//2:]
-if tail:
-    import numpy as np
-    med = float(np.median(tail))
-    b = int(sys.argv[2])
-    print(f'B={b}: sustained {med:.0f} ms/step = {b * 6.0 / (med/1e3):.0f} audio-s/s')
+import datetime, re, sys
+# sustained wall rate from the iter-line timestamps over the run's second
+# half (the per-line 'step' field is per-dispatch-group, not per-iteration,
+# under --steps-per-dispatch)
+rows = []
+for l in open(sys.argv[1]):
+    m = re.match(r'(\S+ \S+?),\d+ .*iter (\d+) loss', l)
+    if m:
+        rows.append((datetime.datetime.strptime(m.group(1), '%Y-%m-%d %H:%M:%S'),
+                     int(m.group(2))))
+if len(rows) >= 4:
+    (t0, i0), (t1, i1) = rows[len(rows) // 2], rows[-1]
+    if i1 > i0:
+        ms = (t1 - t0).total_seconds() * 1e3 / (i1 - i0)
+        b = int(sys.argv[2])
+        print(f'B={b}: sustained {ms:.0f} ms/step = '
+              f'{b * 6.0 / (ms / 1e3):.0f} audio-s/s')
 EOF
 done

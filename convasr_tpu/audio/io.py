@@ -83,6 +83,31 @@ def s2f(signal: np.ndarray) -> np.ndarray:
     return np.divide(signal, np.float32(SMAX), dtype='float32')
 
 
+_ULAW_LUT = None
+
+
+def ulaw_to_int16(data: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 mu-law bytes -> int16 PCM via a 256-entry LUT.
+
+    Telephony audio (the reference targets ru_open_stt phone calls,
+    transcribe.py/serve_google_api.py 8 kHz defaults) arrives G.711-encoded;
+    the google speech proto lists MULAW as a first-class encoding. Standard
+    segmented expansion: byte -> complement -> sign/exponent/mantissa ->
+    ((2*mantissa+33) << exponent) - 33, scaled x4 (max magnitude 32124).
+    """
+    global _ULAW_LUT
+    if _ULAW_LUT is None:
+        u = ~np.arange(256, dtype=np.uint8)
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        magnitude = (((mantissa.astype(np.int32) << 3) + 0x84)
+                     << exponent) - 0x84
+        _ULAW_LUT = np.where(u & 0x80, -magnitude, magnitude).astype(np.int16)
+    return _ULAW_LUT[np.frombuffer(data, dtype=np.uint8)
+                     if isinstance(data, (bytes, bytearray)) else
+                     np.asarray(data, dtype=np.uint8)]
+
+
 def is_audio(audio_path: str) -> bool:
     return os.path.splitext(audio_path)[-1].lower() in AUDIO_FILE_EXTENSIONS
 
@@ -120,7 +145,10 @@ def read_audio(audio_path, sample_rate, offset=0, duration=None, mono=True,
                 with open(audio_path, 'rb') as f:
                     raw_bytes = f.read()
             sample_rate_ = raw_sample_rate
-            signal = np.frombuffer(raw_bytes, dtype=raw_dtype).reshape(-1, raw_num_channels or 1)
+            if raw_dtype == 'mulaw':  # G.711 telephony bytes, one per sample
+                signal = ulaw_to_int16(raw_bytes).reshape(-1, raw_num_channels or 1)
+            else:
+                signal = np.frombuffer(raw_bytes, dtype=raw_dtype).reshape(-1, raw_num_channels or 1)
         elif backend == 'native' and audio_path.endswith('.wav'):
             sample_rate_, signal = _read_native(audio_path, mono)
             # already float32 (C, T) transposed to (T, C); skip int16 path below

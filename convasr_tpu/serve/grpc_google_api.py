@@ -65,25 +65,32 @@ class SpeechServicer:
         self.bucket = max(int(bucket_sec * frontend.sample_rate), 1)
 
     def Recognize(self, request, context=None):
-        assert request.config.encoding == pb2.RecognitionConfig.LINEAR16, \
-            'only LINEAR16 supported'
+        enc = request.config.encoding
+        assert enc in (pb2.RecognitionConfig.LINEAR16,
+                       pb2.RecognitionConfig.MULAW), \
+            'only LINEAR16/MULAW supported'
         req_rate = request.config.sample_rate_hertz
         req_channels = max(request.config.audio_channel_count, 1)
         fused_i16 = getattr(self.forward, 'fused_i16', None)
         # int16 fast path: when no resample/downmix is needed, the LINEAR16
         # samples go to the device AS int16 and the /32767 scale runs there —
         # half the upload bytes (B=1 T=6s dispatch 51 -> 38 ms measured
-        # through the tunnel)
+        # through the tunnel). G.711 MULAW bytes expand through a 256-entry
+        # LUT (audio/io.py::ulaw_to_int16) and ride the same path.
         i16_ok = (fused_i16 is not None and self.decoder is None
                   and req_rate == self.frontend.sample_rate and req_channels == 1)
         if i16_ok:
-            signal = np.frombuffer(request.audio.content, dtype='<i2')[None, :]
+            signal = (audio_io.ulaw_to_int16(request.audio.content)
+                      if enc == pb2.RecognitionConfig.MULAW else
+                      np.frombuffer(request.audio.content, dtype='<i2'))[None, :]
             sample_rate = req_rate
         else:
             signal, sample_rate = audio_io.read_audio(
                 None, raw_bytes=request.audio.content,
                 raw_sample_rate=req_rate, raw_num_channels=req_channels,
-                raw_dtype='int16', sample_rate=self.frontend.sample_rate, mono=True)
+                raw_dtype='mulaw' if enc == pb2.RecognitionConfig.MULAW
+                else 'int16',
+                sample_rate=self.frontend.sample_rate, mono=True)
             if fused_i16 is not None and self.decoder is None:
                 # re-quantize resampled/downmixed audio so it rides the same
                 # int16 path (and the same int16 BATCHER) as direct requests
@@ -272,6 +279,7 @@ class SpeechServicer:
         interim_results = True
         single_utterance = False
         sample_rate_in = self.frontend.sample_rate
+        raw_dtype_in = 'int16'
 
         def to_response(events):
             results = []
@@ -289,8 +297,12 @@ class SpeechServicer:
             for request in request_iterator:
                 if request.HasField('streaming_config'):
                     cfg = request.streaming_config
-                    assert cfg.config.encoding == pb2.RecognitionConfig.LINEAR16, \
-                        'only LINEAR16 supported'
+                    assert cfg.config.encoding in (
+                        pb2.RecognitionConfig.LINEAR16,
+                        pb2.RecognitionConfig.MULAW), \
+                        'only LINEAR16/MULAW supported'
+                    raw_dtype_in = ('mulaw' if cfg.config.encoding ==
+                                    pb2.RecognitionConfig.MULAW else 'int16')
                     interim_results = cfg.interim_results
                     single_utterance = cfg.single_utterance
                     sample_rate_in = cfg.config.sample_rate_hertz or sample_rate_in
@@ -305,7 +317,8 @@ class SpeechServicer:
                 signal, _ = audio_io.read_audio(
                     None, raw_bytes=request.audio_content,
                     raw_sample_rate=sample_rate_in, raw_num_channels=1,
-                    raw_dtype='int16', sample_rate=self.frontend.sample_rate, mono=True)
+                    raw_dtype=raw_dtype_in,
+                    sample_rate=self.frontend.sample_rate, mono=True)
                 events = transcriber.accept(signal[0])
                 if not interim_results:
                     events = [e for e in events if e.is_final]

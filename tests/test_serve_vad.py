@@ -407,6 +407,137 @@ class TestInt16Ingest:
             'int16 row went through the float32 batcher (unscaled audio)'
 
 
+def _itu_ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """Independent ITU-T G.711 mu-law COMPRESSOR (test oracle for the
+    in-repo 256-entry expand LUT): classic bias-0x84 segment search."""
+    out = np.empty(len(samples), np.uint8)
+    for i, s in enumerate(np.asarray(samples, np.int32)):
+        sign = 0x80 if s < 0 else 0
+        s = min(abs(s), 32635) + 0x84
+        exponent = 7
+        mask = 0x4000
+        while exponent > 0 and not (s & mask):
+            exponent -= 1
+            mask >>= 1
+        mantissa = (s >> (exponent + 3)) & 0x0F
+        out[i] = ~(sign | (exponent << 4) | mantissa) & 0xFF
+    return out
+
+
+class TestMulawIngest:
+    """G.711 MULAW request encoding (cloud_speech.proto AudioEncoding.MULAW;
+    telephony audio arrives mu-law-compressed — the reference family targets
+    8 kHz phone-call corpora)."""
+
+    def test_ulaw_lut_roundtrips_all_bytes(self):
+        from convasr_tpu.audio.io import ulaw_to_int16
+        all_bytes = np.arange(256, dtype=np.uint8)
+        decoded = ulaw_to_int16(all_bytes.tobytes())
+        assert decoded.dtype == np.int16
+        # ITU spot values: 0x00/0x80 are the +-full-scale codes (32124),
+        # 0xFF/0x7F both decode to 0 (+0 and -0)
+        assert decoded[0x00] == -32124 and decoded[0x80] == 32124
+        assert decoded[0xFF] == 0 and decoded[0x7F] == 0
+        # compress(expand(byte)) == byte for every code except 0x7F, whose
+        # -0 re-encodes as +0 = 0xFF
+        reenc = _itu_ulaw_encode(decoded)
+        ok = reenc == all_bytes
+        assert ok.sum() == 255 and not ok[0x7F] and reenc[0x7F] == 0xFF
+        # expansion is monotonic in signal value over the byte ordering
+        # 0x00..0x7F (descending negatives), 0xFF..0x80 (ascending positives)
+        assert (np.diff(decoded[:0x80]) > 0).all()
+        assert (np.diff(decoded[0xFF:0x7F:-1]) > 0).all()
+
+    def test_unary_mulaw_matches_linear16(self, server_setup):
+        """A MULAW request must transcribe EXACTLY like a LINEAR16 request
+        carrying the LUT-expanded samples (the server decodes to the same
+        int16 before the model)."""
+        import grpc
+        from convasr_tpu.audio.io import ulaw_to_int16
+        from convasr_tpu.serve import cloud_speech_pb2 as pb2
+        from convasr_tpu.serve.grpc_google_api import make_client_stub
+        rng = np.random.RandomState(11)
+        ulaw = _itu_ulaw_encode(
+            (0.3 * rng.randn(8000) * 32767).astype(np.int16))
+        pcm = ulaw_to_int16(ulaw.tobytes()).astype('<i2').tobytes()
+
+        def req(encoding, content):
+            return pb2.RecognizeRequest(
+                config=pb2.RecognitionConfig(
+                    encoding=encoding, sample_rate_hertz=8000,
+                    audio_channel_count=1),
+                audio=pb2.RecognitionAudio(content=content))
+
+        with grpc.insecure_channel(server_setup) as channel:
+            stub = make_client_stub(channel)
+            r_mulaw = stub(req(pb2.RecognitionConfig.MULAW, ulaw.tobytes()),
+                           timeout=120)
+            r_pcm = stub(req(pb2.RecognitionConfig.LINEAR16, pcm),
+                         timeout=120)
+        assert r_mulaw.results[0].alternatives[0].transcript == \
+            r_pcm.results[0].alternatives[0].transcript
+
+    def test_streaming_mulaw_matches_linear16(self):
+        """StreamingRecognize with MULAW chunks == LINEAR16 chunks carrying
+        the expanded samples (servicer called directly; fake fused forward)."""
+        import types
+        from convasr_tpu.audio.io import ulaw_to_int16
+        from convasr_tpu.decode.generators import GreedyCTCGenerator
+        from convasr_tpu.serve import cloud_speech_pb2 as pb2
+        from convasr_tpu.serve.grpc_google_api import SpeechServicer
+        from convasr_tpu.text import ProcessingPipeline
+        config = ProcessingPipeline.load_config(
+            str(ROOT / 'configs' / 'ru_text_config.json'))
+        pipeline = ProcessingPipeline.make(config, 'char_legacy')
+        vocab = pipeline.tokenizer.vocab_size
+        sr = 8000
+
+        def fused(x, xlen):
+            # emit a token whose id depends on the audio content, so a wrong
+            # decode (e.g. mu-law bytes read as PCM) changes the transcript
+            x = np.asarray(x)
+            frames = max(x.shape[-1] // 80, 1)
+            packed = np.zeros((x.shape[0], frames, 2), np.float32)
+            packed[..., 0] = vocab - 1
+            tok = 1 + int(np.abs(x).sum() * 1e3) % 8
+            packed[:, : frames // 2, 0] = tok
+            return packed
+
+        def forward(x, xlen):
+            raise AssertionError('streaming path must use forward.fused')
+        forward.fused = fused
+        servicer = SpeechServicer(
+            pipeline, types.SimpleNamespace(sample_rate=sr), forward,
+            GreedyCTCGenerator())
+
+        rng = np.random.RandomState(12)
+        ulaw = _itu_ulaw_encode(
+            (0.3 * rng.randn(sr) * 32767).astype(np.int16))
+        pcm = ulaw_to_int16(ulaw.tobytes()).astype('<i2').tobytes()
+
+        def run(encoding, payload):
+            reqs = [pb2.StreamingRecognizeRequest(
+                streaming_config=pb2.StreamingRecognitionConfig(
+                    config=pb2.RecognitionConfig(
+                        encoding=encoding, sample_rate_hertz=sr,
+                        audio_channel_count=1),
+                    interim_results=True))]
+            step = len(ulaw) // 4
+            for k in range(0, len(ulaw), step):
+                lo, hi = k, min(k + step, len(ulaw))
+                chunk = (payload[lo:hi] if encoding ==
+                         pb2.RecognitionConfig.MULAW else payload[2 * lo:2 * hi])
+                reqs.append(pb2.StreamingRecognizeRequest(audio_content=chunk))
+            texts = []
+            for resp in servicer.StreamingRecognize(iter(reqs)):
+                texts += [r.alternatives[0].transcript for r in resp.results
+                          if r.is_final]
+            return texts
+
+        assert run(pb2.RecognitionConfig.MULAW, ulaw.tobytes()) == \
+            run(pb2.RecognitionConfig.LINEAR16, pcm)
+
+
 class TestServeWarmup:
     """--warmup-sec: every bucket program compiles BEFORE the first request
     (cold per-shape compile/install through the tunnel measured 30 s-20 min;

@@ -225,6 +225,49 @@ def main():
                 hyps.append(to_text(tks[0, 0, :lens[0, 0]].tolist()))
             print(f'device beam+charLM a={alpha} b={beta}: WER {score(hyps):.3f}')
 
+    # HYBRID (VERDICT r3 #6): device beam top-K CTC hypotheses -> host word-
+    # LM rescoring (K x num_words LM lookups per utterance instead of
+    # per-frame fusion; decode/beam.py::decode_device_with_lm)
+    from convasr_tpu.decode.beam import decode_device_with_lm
+    Tmax = max(lp.shape[0] for lp in lps)
+    lp_pad = np.full((len(lps), Tmax, lps[0].shape[-1]), -20.0, np.float32)
+    for i, lp in enumerate(lps):
+        lp_pad[i, :lp.shape[0]] = lp
+    ol_arr = np.asarray(olens, np.int32)
+    best_h = None
+    for alpha in [0.3, 0.6, 1.0, 1.5]:
+        for beta in [0.0, 0.5, 1.0]:
+            toks = decode_device_with_lm(lp_pad, ol_arr, tok,
+                                         lm_path=word_arpa, alpha=alpha,
+                                         beta=beta, beam_width=16,
+                                         cutoff_top_n=6)
+            w = score([to_text(tk) for tk in toks])
+            print(f'hybrid device-beam+host-wordLM rescoring a={alpha} '
+                  f'b={beta}: WER {w:.3f}')
+            if best_h is None or w < best_h[0]:
+                best_h = (w, alpha, beta)
+
+    # decoder throughput on this corpus (same inputs; val-set utt/s)
+    import time as _time
+
+    def timed(fn, n=3):
+        t0 = _time.perf_counter()
+        for _ in range(n):
+            fn()
+        return len(lps) * n / (_time.perf_counter() - t0)
+
+    dec_best = BeamSearchDecoder(tok, lm_path=word_arpa, beam_width=32,
+                                 beam_alpha=0.6, beam_beta=0.5, cutoff_top_n=6)
+    host_ups = timed(lambda: [dec_best.decode(lp[None, :ol])
+                              for lp, ol in zip(lps, olens)])
+    w_h, a_h, b_h = best_h
+    hyb_ups = timed(lambda: decode_device_with_lm(
+        lp_pad, ol_arr, tok, lm_path=word_arpa, alpha=a_h, beta=b_h,
+        beam_width=16, cutoff_top_n=6))
+    print(f'throughput: host beam+wordLM {host_ups:.1f} utt/s | '
+          f'hybrid (device beam + host rescoring) {hyb_ups:.1f} utt/s '
+          f'(hybrid best WER {w_h:.3f} at a={a_h} b={b_h})')
+
 
 if __name__ == '__main__':
     main()

@@ -192,6 +192,32 @@ class TestBeamLMImprovesWER:
         assert device <= greedy - max(0.01, 0.1 * greedy), \
             f'device beam+charLM {device} vs greedy {greedy}'
 
+        # --- HYBRID (VERDICT r3 #6): device beam top-K -> host word-LM
+        # rescoring must land within ~1 WER point of the host per-frame
+        # fusion (it sees the same word LM, just applied to K finished
+        # hypotheses instead of every frame) ---
+        from convasr_tpu.decode.beam import decode_device_with_lm
+        Tmax = max(lp.shape[0] for lp in t['lps'])
+        lp_pad = np.full((len(t['lps']), Tmax, t['lps'][0].shape[-1]),
+                         -20.0, np.float32)
+        for i, lp in enumerate(t['lps']):
+            lp_pad[i, :lp.shape[0]] = lp
+        ol_arr = np.asarray(t['olens'], np.int32)
+
+        def hybrid_wer(alpha, beta):
+            toks = decode_device_with_lm(lp_pad, ol_arr, tok,
+                                         lm_path=word_arpa, alpha=alpha,
+                                         beta=beta, beam_width=16,
+                                         cutoff_top_n=6)
+            return _score(t, [_to_text(t, tk) for tk in toks])
+
+        hybrid = min(hybrid_wer(a, b)
+                     for a, b in [(0.6, 0.5), (1.0, 0.0), (1.5, 0.5)])
+        assert hybrid <= greedy - max(0.01, 0.1 * greedy), \
+            f'hybrid {hybrid} vs greedy {greedy}'
+        assert hybrid <= host + 0.011, \
+            f'hybrid {hybrid} not within a point of host beam {host}'
+
     def test_streaming_beam_lm_beats_greedy(self, trained):
         """The beam+LM accuracy win must reach STREAMING clients (VERDICT r3
         #1): feed the val audio through the real streaming path and assert

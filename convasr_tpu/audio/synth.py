@@ -83,15 +83,28 @@ def add_reverb(sig: np.ndarray, sr: int, rt60: float,
 def synth_word(rng: np.random.RandomState, word: str, sr: int,
                speaker: typing.Optional[dict] = None, char_sec: float = 0.1,
                gap_sec: float = 0.05, noise: float = 0.01,
-               formant_table: typing.Optional[dict] = None) -> np.ndarray:
-    """Word -> phone sequence with inter-phone gaps; noise floor throughout."""
+               formant_table: typing.Optional[dict] = None,
+               xfade_sec: float = 0.012) -> np.ndarray:
+    """Word -> phones CROSSFADED inside the word (coarticulation-style: real
+    speech has no intra-word silences, and silent phone gaps decode as word
+    boundaries — GreedyCTCGenerator inserts a space after >=10 blank frames),
+    with gap_sec of noise-floor silence at both word edges."""
     table = formant_table or PHONE_FORMANTS
-    chunks = [noise * rng.randn(int(sr * gap_sec))]
-    for ch in word:
-        phone = formant_phone(rng, table[ch], char_sec, sr, speaker=speaker)
-        chunks.append(phone + noise * rng.randn(len(phone)))
-        chunks.append(noise * rng.randn(int(sr * gap_sec)))
-    return np.concatenate(chunks).astype(np.float32)
+    phones = [formant_phone(rng, table[ch], char_sec, sr, speaker=speaker)
+              for ch in word]
+    nx = int(sr * xfade_sec)
+    sig = phones[0].astype(np.float64)
+    for p in phones[1:]:
+        if nx and len(sig) >= nx and len(p) >= nx:
+            ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(nx) / nx)  # 0 -> 1
+            sig = np.concatenate([sig[:-nx],
+                                  sig[-nx:] * (1.0 - ramp) + p[:nx] * ramp,
+                                  p[nx:]])
+        else:
+            sig = np.concatenate([sig, p])
+    gap = int(sr * gap_sec)
+    sig = np.concatenate([np.zeros(gap), sig, np.zeros(gap)])
+    return (sig + noise * rng.randn(len(sig))).astype(np.float32)
 
 
 def synth_sentence(rng: np.random.RandomState, words, sr: int,

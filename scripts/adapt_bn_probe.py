@@ -17,6 +17,17 @@ Usage:
   python scripts/adapt_bn_probe.py --checkpoint /tmp/lmwer_r3/exp/lmwer/<ck>
       [--val-noise 0.8] [--device cpu]
 
+Formant-synthesis variant (VERDICT r3 #8 — source-filter phones instead of
+sine tones; train WITH --edge-pad 0.3 so the val builder's boundary context
+is in-domain and the only shift under test is noise+reverb):
+  python scripts/lm_wer_probe.py --synth formant --noise 0.2 --edge-pad 0.3 \
+      --tmp /tmp/lmwer_formant
+  python scripts/adapt_bn_probe.py --synth formant --checkpoint <ck> \
+      --val-noise 0.3 --val-reverb 0.12 --device cpu
+Measured (2026-08-19, 600-iter formant checkpoint, train noise 0.2 +
+edge-pad 0.3, val noise 0.3 + RT60 0.12): frozen-BN WER 19.44% ->
+adapted-BN 15.00% (CER 11.94% -> 9.17%) on CPU.
+
 Measured (2026-08-17, 600-iter tone-word checkpoint, train noise 0.4, val
 noise 0.8): REAL CHIP frozen-BN WER 13.33% -> adapted-BN 11.11%; CPU 13.89%
 -> 11.67%. Before the cumulative-average fix in train/loop.py the adapted
@@ -42,15 +53,19 @@ probe = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(probe)
 
 
-def build_val(tmp, noise, n=60, seed=7):
-    # same grammar/tones as training, shifted noise floor; fresh seed so no
-    # utterance is shared with the training corpus
+def build_val(tmp, noise, n=60, seed=7, reverb_rt60=0.0):
+    # same grammar/phones as training, shifted noise floor (+ optional room
+    # reverb in formant mode); fresh seed so no utterance is shared with the
+    # training corpus
     from convasr_tpu.audio import write_audio
     rng = np.random.RandomState(seed)
     entries = []
     for i in range(n):
         words = probe.sample_sentence(rng)
         wave = probe.synth_sentence(rng, words, noise, edge_pad=0.3)
+        if reverb_rt60:
+            from convasr_tpu.audio.synth import add_reverb
+            wave = add_reverb(wave, probe.SR, reverb_rt60, rng)
         path = str(tmp / f'shift_{i}.wav')
         write_audio(path, wave[None, :], probe.SR)
         entries.append(dict(audio_path=path, ref=' '.join(words),
@@ -72,6 +87,12 @@ def run_eval(args, val_json, adapt, tag):
            '--batch-time-padding-multiple', '128',
            '--text-config', str(ROOT / 'configs' / 'ru_text_config.json'),
            '--val-config', str(ROOT / 'configs' / 'ru_val_config.json')]
+    if args.synth == 'formant':
+        # formant phones are 0.1 s = 10 frames, the default blank->space
+        # threshold: peaky-CTC blank runs INSIDE a word trip it and split
+        # words ('аб' -> 'а б'). The model emits space tokens itself (refs
+        # contain spaces), so widen the heuristic out of the way.
+        cmd += ['--replace-blank-series', '20']
     if args.device:
         cmd += ['--device', args.device]
     if adapt:
@@ -90,15 +111,35 @@ def main():
     ap.add_argument('--checkpoint', required=True)
     ap.add_argument('--val-noise', type=float, default=0.8,
                     help='shifted-domain noise floor (training used 0.4)')
+    ap.add_argument('--synth', default='tone', choices=['tone', 'formant'],
+                    help='formant: source-filter phones (VERDICT r3 #8); '
+                         'pair with a checkpoint from lm_wer_probe --synth '
+                         'formant, and shift via --val-noise ~0.5 + '
+                         '--val-reverb')
+    ap.add_argument('--val-reverb', type=float, default=0.0,
+                    help='room RT60 (s) applied to the shifted val set '
+                         '(formant mode: a channel shift beyond the noise '
+                         'floor — reverb smears formant trajectories)')
+    ap.add_argument('--speakers', type=int, default=4,
+                    help='formant mode: speaker-pool size (must match the '
+                         'training probe run)')
     ap.add_argument('--device', default=None)
     ap.add_argument('--tmp', default='/tmp/adapt_bn_probe')
     args = ap.parse_args()
     tmp = pathlib.Path(args.tmp)
     tmp.mkdir(parents=True, exist_ok=True)
+    probe.SYNTH_MODE = args.synth
+    if args.synth == 'formant':
+        # same fixed speaker pool as lm_wer_probe --synth formant (seed
+        # 1234), so the SHIFT under test is noise+reverb, not speakers
+        from convasr_tpu.audio.synth import speaker_profile
+        spk_rng = np.random.RandomState(1234)
+        probe._SPEAKERS.extend(speaker_profile(spk_rng)
+                               for _ in range(args.speakers))
     import jax
     if args.device == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
-    val_json = build_val(tmp, args.val_noise)
+    val_json = build_val(tmp, args.val_noise, reverb_rt60=args.val_reverb)
     wer_off = run_eval(args, val_json, adapt=False, tag='off')
     wer_on = run_eval(args, val_json, adapt=True, tag='on')
     print(f'shifted-noise val (noise={args.val_noise}): '

@@ -9,6 +9,9 @@ Prints greedy WER and beam+LM WERs over an (alpha, beta) grid for the C++
 host beam and the on-device beam with char-bigram fusion.
 
 Usage: python scripts/lm_wer_probe.py [--noise 0.35] [--iterations 600]
+       python scripts/lm_wer_probe.py --synth formant --noise 0.2
+         (formant-synthesis phones with grammar-matched confusable F2 pairs
+          instead of sine tones — VERDICT r3 #8)
 """
 import argparse
 import json
@@ -32,6 +35,20 @@ CHARS = 'абвг'
 SPACING = int(os.environ.get('TONE_SPACING', '150'))
 TONES = {c: 500 + SPACING * i for i, c in enumerate(CHARS)}
 
+# --synth formant (VERDICT r3 #8): source-filter phones (audio/synth.py)
+# instead of sine tones. Confusability is engineered to match the GRAMMAR's
+# minimal pairs: б/в share F1 and sit 200 Hz apart in F2 (аб vs ав, бг vs
+# вг differ only in that char), as do а/г (ба vs бг after the transposition
+# pair вг/гв). With per-speaker ±6% formant shift + per-utterance jitter
+# the F2 distributions overlap, so the acoustic model confuses exactly the
+# chars the word LM can disambiguate.
+CONFUSABLE_FORMANTS = {
+    'а': [(700, 110), (1150, 170)],
+    'г': [(700, 110), (1350, 170)],
+    'б': [(380, 85), (2100, 250)],
+    'в': [(380, 85), (2320, 250)],
+}
+
 WORDS = ['аб', 'ав', 'ба', 'вг', 'гв', 'бг']
 # sparse word-bigram grammar: each word has few legal successors, and the
 # legal successor differs between confusable pairs (аб vs ав etc.)
@@ -46,7 +63,18 @@ GRAMMAR = {
 }
 
 
+SYNTH_MODE = 'tone'  # set by --synth; 'formant' renders source-filter phones
+_SPEAKERS: list = []  # formant mode: fixed speaker pool, sampled per utt
+
+
 def synth_word(rng, word, noise, char_sec=0.1, gap_sec=0.05):
+    if SYNTH_MODE == 'formant':
+        from convasr_tpu.audio.synth import synth_word as formant_synth_word
+        spk = _SPEAKERS[rng.randint(len(_SPEAKERS))] if _SPEAKERS else None
+        return formant_synth_word(rng, word, SR, speaker=spk,
+                                  char_sec=char_sec, gap_sec=gap_sec,
+                                  noise=noise,
+                                  formant_table=CONFUSABLE_FORMANTS)
     chunks = [noise * rng.randn(int(SR * gap_sec))]
     for ch in word:
         t = np.arange(int(SR * char_sec)) / SR
@@ -107,7 +135,22 @@ def main():
     ap.add_argument('--tmp', default=None)
     ap.add_argument('--skip-train', action='store_true',
                     help='reuse the checkpoint already in --tmp')
+    ap.add_argument('--synth', default='tone', choices=['tone', 'formant'],
+                    help='formant: source-filter phones with grammar-matched '
+                         'confusable F2 pairs (VERDICT r3 #8); noise is the '
+                         'additive floor against ~0.35-peak phones — use '
+                         '~0.15-0.25')
+    ap.add_argument('--speakers', type=int, default=4,
+                    help='formant mode: speaker-pool size')
     args = ap.parse_args()
+
+    global SYNTH_MODE
+    SYNTH_MODE = args.synth
+    if args.synth == 'formant':
+        from convasr_tpu.audio.synth import speaker_profile
+        spk_rng = np.random.RandomState(1234)
+        _SPEAKERS.extend(speaker_profile(spk_rng)
+                         for _ in range(args.speakers))
 
     jax.config.update('jax_platforms', 'cpu')
     tmp = pathlib.Path(args.tmp or tempfile.mkdtemp(prefix='lmwer_'))

@@ -1412,7 +1412,8 @@ def build_parser():
                         help='sparsify saved val logits to top-k classes per frame')
     parser.add_argument('--decoder', default='GreedyDecoder',
                         choices=['GreedyDecoder', 'BeamSearchDecoder',
-                                 'BeamSearchDecoderDevice'],
+                                 'BeamSearchDecoderDevice',
+                                 'BeamSearchDecoderDeviceLM'],
                         help='validation decoder; unlike the reference (flag '
                              'parsed at train.py:975 but eval always greedy) '
                              'the choice is honored')

@@ -689,7 +689,8 @@ def build_parser():
     parser.add_argument('--audio-backend', default=None, choices=[None, 'sox', 'ffmpeg'])
     parser.add_argument('--decoder', default='GreedyDecoder',
                         choices=['GreedyDecoder', 'BeamSearchDecoder',
-                                 'BeamSearchDecoderDevice'])
+                                 'BeamSearchDecoderDevice',
+                                 'BeamSearchDecoderDeviceLM'])
     parser.add_argument('--beam-cutoff-top-n', type=int, default=8)
     parser.add_argument('--decoder-topk', type=int, default=1)
     parser.add_argument('--beam-width', type=int, default=5000)

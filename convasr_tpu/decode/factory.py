@@ -47,6 +47,27 @@ def build_decoder(args, tokenizer, vocab=None):
                         for b in range(len(tokens))]
 
         return _DeviceBeam()
+    if choice == 'BeamSearchDecoderDeviceLM':
+        # hybrid: on-device top-K beam, then host WORD-LM rescoring of the K
+        # complete hypotheses (decode/beam.decode_device_with_lm). Rescoring
+        # finished hypotheses avoids in-beam pruning of LM-favored prefixes —
+        # on the confusable probe corpus it beats even the host per-frame
+        # fusion (WER 0.017 vs 0.050; COMPONENTS.md row 9). Use small
+        # --beam-width (e.g. 16): K is the device beam's width.
+        from .beam import decode_device_with_lm
+
+        class _HybridBeam:
+            topk = 1
+
+            def decode(self, log_probs, output_lengths=None):
+                return decode_device_with_lm(
+                    log_probs, output_lengths, tokenizer,
+                    lm_path=getattr(args, 'lm', None),
+                    alpha=args.beam_alpha, beta=args.beam_beta,
+                    beam_width=args.beam_width,
+                    cutoff_top_n=args.beam_cutoff_top_n)
+
+        return _HybridBeam()
     if choice == 'BeamSearchDecoder':
         from .beam import BeamSearchDecoder
         return BeamSearchDecoder(

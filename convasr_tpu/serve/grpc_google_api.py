@@ -473,7 +473,8 @@ def build_parser():
     parser.add_argument('--replace-blank-series', type=int, default=8)
     parser.add_argument('--decoder', default='GreedyDecoder',
                         choices=['GreedyDecoder', 'BeamSearchDecoder',
-                                 'BeamSearchDecoderDevice'])
+                                 'BeamSearchDecoderDevice',
+                                 'BeamSearchDecoderDeviceLM'])
     parser.add_argument('--decoder-topk', type=int, default=1)
     parser.add_argument('--lm', default=None)
     parser.add_argument('--beam-width', type=int, default=32)

@@ -60,3 +60,19 @@ class TestTranscribeBeam:
         main(args)
         segments2 = json.load(open(os.path.join(out_dir2, name + '.json')))
         assert isinstance(segments2, list)
+
+        # hybrid: device beam top-K + host word-LM rescoring
+        arpa = str(tmp_path / 'word.arpa')
+        with open(arpa, 'w') as f:
+            f.write('\\data\\\nngram 1=3\n\n\\1-grams:\n-1.0\t<unk>\n'
+                    '-0.5\tмир\n-0.9\tпривет\n\n\\end\\\n')
+        out_dir3 = str(tmp_path / 'out_hybrid')
+        args = build_parser().parse_args([
+            '--checkpoint', ckpt, '-i', wav, '-o', out_dir3, '--output-json', '--mono',
+            '--bf16', 'false', '--decoder', 'BeamSearchDecoderDeviceLM',
+            '--beam-width', '8', '--lm', arpa])
+        main(args)
+        segments3 = json.load(open(os.path.join(out_dir3, name + '.json')))
+        assert isinstance(segments3, list)
+        for t in segments3:
+            assert 'hyp' in t

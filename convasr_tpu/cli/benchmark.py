@@ -173,19 +173,7 @@ def main(args):
         def run():
             return fwd(variables, x, xlen)
 
-    decoder = None
-    if args.decoder == 'BeamSearchDecoder':
-        # end-to-end RTF of the accuracy-flagship configuration (VERDICT r3
-        # #3): device forward + host C++ prefix beam (+ ARPA/CNLM LM,
-        # decode/beam.py). The device fetch is top-k (log-prob, id) pairs —
-        # the beam only ever extends cutoff_top_n candidates, so decoding a
-        # densified top-k matrix equals the full-posterior decode for
-        # cutoff_top_n <= k (equality proven in tests/test_streaming_beam.py)
-        # while shrinking the tunnel fetch ~C/k-fold. Reference methodology:
-        # benchmark.py:194-221 (RTF over the full pipeline).
-        from ..decode.beam import BeamSearchDecoder
-        from ..serve.streaming import BEAM_LP_FLOOR
-
+    def _alphabet_tokenizer():
         class _Tok:
             vocab = ['.'] * (args.num_classes - 1) + ['|']
             eps_id = args.num_classes - 1
@@ -198,6 +186,23 @@ def main(args):
                 tok = _Tok()
         except Exception:
             tok = _Tok()
+        return tok
+
+    decoder = None
+    decode_label = 'host beam decode'
+    if args.decoder == 'BeamSearchDecoder':
+        # end-to-end RTF of the accuracy-flagship configuration (VERDICT r3
+        # #3): device forward + host C++ prefix beam (+ ARPA/CNLM LM,
+        # decode/beam.py). The device fetch is top-k (log-prob, id) pairs —
+        # the beam only ever extends cutoff_top_n candidates, so decoding a
+        # densified top-k matrix equals the full-posterior decode for
+        # cutoff_top_n <= k (equality proven in tests/test_streaming_beam.py)
+        # while shrinking the tunnel fetch ~C/k-fold. Reference methodology:
+        # benchmark.py:194-221 (RTF over the full pipeline).
+        from ..decode.beam import BeamSearchDecoder
+        from ..serve.streaming import BEAM_LP_FLOOR
+
+        tok = _alphabet_tokenizer()
         decoder = BeamSearchDecoder(
             tok, lm_path=args.lm, beam_width=args.beam_width,
             beam_alpha=args.beam_alpha, beam_beta=args.beam_beta,
@@ -236,6 +241,62 @@ def main(args):
             np.put_along_axis(dense, ids, vals, axis=2)
             tic = time.perf_counter()
             out = decoder.decode(dense)
+            decode_seconds.append(time.perf_counter() - tic)
+            return out
+
+    elif args.decoder == 'BeamSearchDecoderDeviceLM':
+        # hybrid accuracy flagship (COMPONENTS.md row 9): the top-K prefix
+        # beam runs ON DEVICE fused into the forward program (one dispatch,
+        # tiny (B, K, ·) fetch), the host only rescores the K finished
+        # hypotheses per utterance with the word LM — O(B·K) host work vs
+        # the host beam's per-frame inner loop. Use small --beam-width
+        # (e.g. 16): it is the device beam's K.
+        from ..decode.beam import load_lm, rescore_with_lm
+        from ..ops.beam_device import beam_search_device
+
+        tok = _alphabet_tokenizer()
+        lm = load_lm(args.lm) if args.lm else None
+        labels = [str(l).lower() for l in tok.vocab]
+        decode_label = 'host word-LM rescore'
+
+        def _beam_tail(lp):
+            toks, lens, scores = beam_search_device(
+                lp, jnp.full((lp.shape[0],), lp.shape[1], jnp.int32),
+                tok.eps_id, beam_width=args.beam_width,
+                cutoff_top_n=args.beam_cutoff_top_n,
+                max_len=lp.shape[1] + 1)
+            return toks.astype(jnp.int16), lens.astype(jnp.int32), scores
+
+        if qtree is not None:
+            @jax.jit
+            def fwd_beam(qt, x, xlen):
+                return _beam_tail(
+                    quantized_apply(model, qt, x, xlen=xlen)['log_probs'][0])
+
+            def dispatch():
+                return fwd_beam(qtree, x, xlen)
+        else:
+            @jax.jit
+            def fwd_beam(v, x, xlen):
+                return _beam_tail(model.apply(v, x, xlen=xlen)['log_probs'][0])
+
+            def dispatch():
+                return fwd_beam(variables, x, xlen)
+
+        decode_seconds = []
+        decoder = 'hybrid'
+
+        def beam_decode(dev_out):
+            toks, lens, scores = (np.asarray(a) for a in dev_out)
+            tic = time.perf_counter()
+            out = []
+            for b in range(len(toks)):
+                hyps = [(toks[b, k, :lens[b, k]].tolist(),
+                         float(scores[b, k])) for k in range(toks.shape[1])]
+                if lm is not None:
+                    hyps = rescore_with_lm(hyps, labels, lm,
+                                           args.beam_alpha, args.beam_beta)
+                out.append(hyps[0][0])
             decode_seconds.append(time.perf_counter() - tic)
             return out
 
@@ -288,11 +349,14 @@ def main(args):
     rtf = total_audio / times.sum()
     kind = 'fwd+bwd' if args.backward else ('fwd-int8' if args.quantize else 'fwd')
     if decoder is not None:
-        kind += '+beam' + ('+lm' if args.lm else '')
+        kind += ('+devbeam' if decoder == 'hybrid' else '+beam') \
+            + ('+lm' if args.lm else '')
         dec = np.asarray(decode_seconds)
-        print(f'host beam decode: mean {dec.mean() * 1e3:.1f} ms/batch '
-              f'({dec.mean() * 1e3 / args.B:.2f} ms/utt, '
-              f'{args.decoder_workers} worker(s)) — decode-only RTF '
+        workers = '' if decoder == 'hybrid' \
+            else f', {args.decoder_workers} worker(s)'
+        print(f'{decode_label}: mean {dec.mean() * 1e3:.1f} ms/batch '
+              f'({dec.mean() * 1e3 / args.B:.2f} ms/utt{workers}) — '
+              f'host-side-only RTF '
               f'{args.B * example_seconds / dec.mean():.1f}')
     print(f'{kind}: mean {times.mean() * 1e3:.2f} ms | p50 '
           f'{np.percentile(times, 50) * 1e3:.2f} | min {times.min() * 1e3:.2f}')
@@ -363,9 +427,13 @@ def build_parser():
     parser.add_argument('--window', default='hann_window',
                         help='frontend window function')
     parser.add_argument('--decoder', default=None,
-                        choices=['BeamSearchDecoder'],
-                        help='end-to-end RTF incl. the host C++ beam '
-                             '(one-ahead pipelined with the device forward); '
+                        choices=['BeamSearchDecoder',
+                                 'BeamSearchDecoderDeviceLM'],
+                        help='end-to-end RTF incl. decoding: BeamSearchDecoder'
+                             ' = host C++ beam (one-ahead pipelined with the '
+                             'device forward); BeamSearchDecoderDeviceLM = '
+                             'on-device top-K beam fused into the forward + '
+                             'host word-LM rescoring (use --beam-width ~16); '
                              'default = forward only (greedy argmax rides '
                              'the device, see transcribe --fused)')
     parser.add_argument('--lm', default=None,

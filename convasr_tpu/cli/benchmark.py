@@ -260,12 +260,12 @@ def main(args):
         decode_label = 'host word-LM rescore'
 
         def _beam_tail(lp):
-            toks, lens, scores = beam_search_device(
+            return beam_search_device(
                 lp, jnp.full((lp.shape[0],), lp.shape[1], jnp.int32),
                 tok.eps_id, beam_width=args.beam_width,
                 cutoff_top_n=args.beam_cutoff_top_n,
-                max_len=lp.shape[1] + 1)
-            return toks.astype(jnp.int16), lens.astype(jnp.int32), scores
+                max_len=args.beam_max_len or lp.shape[1] + 1,
+                compact_tokens=True)
 
         if qtree is not None:
             @jax.jit
@@ -438,6 +438,10 @@ def build_parser():
                              'the device, see transcribe --fused)')
     parser.add_argument('--lm', default=None,
                         help='ARPA(.gz)/CNLM-binary LM for --decoder')
+    parser.add_argument('--beam-max-len', type=int, default=0,
+                        help='device-beam hypothesis-buffer cap (0 = T+1, '
+                             'exact); speech emits ~T/10 tokens, so ~T/4 '
+                             'shrinks scan HBM traffic and the fetch')
     parser.add_argument('--beam-width', type=int, default=128)
     parser.add_argument('--beam-alpha', type=float, default=0.4)
     parser.add_argument('--beam-beta', type=float, default=1.0)

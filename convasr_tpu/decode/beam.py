@@ -225,9 +225,12 @@ def rescore_with_lm(hyps: typing.List[typing.Tuple[typing.List[int], float]],
 def decode_device_with_lm(log_probs, output_lengths, tokenizer,
                           lm_path: typing.Optional[str] = None,
                           alpha: float = 0.5, beta: float = 0.0,
-                          beam_width: int = 16, cutoff_top_n: int = 8):
+                          beam_width: int = 16, cutoff_top_n: int = 8,
+                          max_len: typing.Optional[int] = None):
     """On-device beam search + host LM rescoring; returns per-utterance token
-    lists (best hypothesis)."""
+    lists (best hypothesis). max_len caps the on-device hypothesis buffer
+    (default T+1 = exact; speech emits ~T/10 tokens, so a smaller cap cuts
+    both the (K, L) prefix-rebuild HBM traffic in the scan and the fetch)."""
     import jax.numpy as jnp
     from ..ops.beam_device import beam_search_device
     log_probs = np.asarray(log_probs)
@@ -236,7 +239,7 @@ def decode_device_with_lm(log_probs, output_lengths, tokenizer,
     tokens, lens, scores = beam_search_device(
         jnp.asarray(log_probs), jnp.asarray(lengths, np.int32), tokenizer.eps_id,
         beam_width=beam_width, cutoff_top_n=cutoff_top_n,
-        max_len=int(log_probs.shape[1]) + 1)
+        max_len=max_len or int(log_probs.shape[1]) + 1, compact_tokens=True)
     tokens, lens, scores = map(np.asarray, (tokens, lens, scores))
     lm = load_lm(lm_path) if lm_path else None
     labels = [str(l).lower() for l in tokenizer.vocab]

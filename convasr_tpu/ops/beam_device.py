@@ -10,10 +10,13 @@ Design (fixed shapes throughout — no data-dependent control flow):
   prefix hashes (K,), last-char ids (K,), log-probs split into p_blank / p_nonblank;
 - each step expands K beams x (top-N chars + blank + repeat) into M = K*(N+2)
   candidates, identified by their prefix hash;
-- candidates with the same prefix are MERGED exactly: sort by hash,
-  segment-logsumexp of p_b / p_nb (segment ids from hash run boundaries);
-- top-K segments survive; prefix buffers are rebuilt by gathering the parent
-  and scattering the appended char at the parent's length.
+- candidates with the same prefix are MERGED exactly via a dense (M, M)
+  hash-equality matrix + masked logsumexp (GATHER-FREE — see _step: on TPU a
+  data-dependent gather inside a scan costs ~0.3-0.5 ms vs ~15-60 us for the
+  dense reduction at this M);
+- top-K canonical rows survive; prefix buffers are rebuilt with one-hot
+  masked sums over the K parents and the appended char written at the
+  parent's length.
 
 LM fusion on device (round 2): an optional dense CHAR-bigram table
 (decode/beam.char_lm_table) adds alpha*logP(c | last_char) + beta to every
@@ -35,18 +38,19 @@ def _logsumexp2(a, b):
     return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
 
 
-def _segment_logsumexp(values, segment_ids, num_segments):
-    """Log-sum-exp of `values` per segment (stable: per-segment max shift)."""
-    seg_max = jax.ops.segment_max(values, segment_ids, num_segments=num_segments)
-    seg_max = jnp.where(seg_max <= NEG_INF / 2, NEG_INF, seg_max)
-    shifted = jnp.exp(jnp.clip(values - seg_max[segment_ids], -80.0, 0.0))
-    shifted = jnp.where(values <= NEG_INF / 2, 0.0, shifted)
-    seg_sum = jax.ops.segment_sum(shifted, segment_ids, num_segments=num_segments)
-    out = seg_max + jnp.log(jnp.maximum(seg_sum, 1e-30))
-    return jnp.where(seg_sum <= 0.0, NEG_INF, out)
-
-
 def _step(state, lp_t, active, blank_id, K, N, L, lm=None):
+    """One beam step, GATHER-FREE (r4 rewrite).
+
+    On TPU, data-dependent gathers/scatters over (B, M)-shaped operands cost
+    ~0.3-0.5 ms EACH inside a scan (measured, scripts/beam_op_probe.py),
+    while dense (B, M, M) masked reductions, sorts, and top_k cost ~15-60 us
+    per step. The original step did ~14 gathers/scatters (argsort-gather
+    merge, segment_* scatters, representative-row gathers) = ~4.7 ms/step;
+    this version does the hash-merge as a dense pairwise-equality logsumexp
+    and every selection as a one-hot masked sum, leaving lax.top_k as the
+    only non-elementwise op. Semantics are IDENTICAL (same merge math, same
+    representative choice: smallest original row index in each hash group).
+    """
     prefixes, lengths, hashes, last, p_b, p_nb = state
     C = lp_t.shape[-1]
 
@@ -59,41 +63,53 @@ def _step(state, lp_t, active, blank_id, K, N, L, lm=None):
 
     p_tot = _logsumexp2(p_b, p_nb)                              # (K,)
 
-    # ---- candidate tables: M = K * (n_cand + 2) rows ----
-    # row kinds per beam k:
+    # ---- candidate tables in (K, J) layout: J = n_cand + 2 row kinds ----
+    # kind j per beam k:
     #   0:        blank -> same prefix, contributes to p_b
     #   1:        repeat of last char -> same prefix, contributes to p_nb
-    #   2..n+1:   extend with cand_c[j] -> new prefix, contributes to p_nb
-    M = K * (n_cand + 2)
-    parent = jnp.repeat(jnp.arange(K), n_cand + 2)              # (M,)
-    kind = jnp.tile(jnp.arange(n_cand + 2), K)                  # (M,)
+    #   2..J-1:   extend with cand_c[j-2] -> new prefix, contributes to p_nb
+    # parent indexing is a BROADCAST over axis 0, kind over axis 1 — the
+    # (M,) parent/kind gather tables of the old layout become free.
+    J = n_cand + 2
+    M = K * J
+    kind = jnp.arange(J)[None, :]                               # (1, J)
 
-    blank_lp = lp_t[blank_id]
-    last_lp = jnp.where(last >= 0, lp_t[jnp.maximum(last, 0)], NEG_INF)  # (K,)
+    blank_lp = lp_t[blank_id]                                   # static index
+    # last char's log-prob via one-hot reduce (C is tiny), not a gather
+    last_onehot = last[:, None] == jnp.arange(C)[None, :]       # (K, C)
+    last_lp = jnp.where(
+        last >= 0,
+        jnp.sum(jnp.where(last_onehot, lp_t[None, :], 0.0), -1), NEG_INF)
 
-    cand_char = jnp.where(kind >= 2, cand_c[jnp.maximum(kind - 2, 0)], -1)  # (M,)
-    cand_char_lp = jnp.where(kind >= 2, cand_lp[jnp.maximum(kind - 2, 0)], NEG_INF)
+    cand_char = jnp.concatenate(
+        [jnp.full((2,), -1, cand_c.dtype), cand_c])[None, :]    # (1, J)
+    cand_char_lp = jnp.concatenate(
+        [jnp.full((2,), NEG_INF, cand_lp.dtype), cand_lp])[None, :]
 
-    parent_hash = hashes[parent]
-    parent_last = last[parent]
-    ext_hash = parent_hash * HASH_MULT + (cand_char + 1).astype(jnp.uint32)
-    new_hash = jnp.where(kind >= 2, ext_hash, parent_hash)
+    ext_hash = hashes[:, None] * HASH_MULT + (cand_char + 1).astype(jnp.uint32)
+    new_hash = jnp.where(kind >= 2, ext_hash, hashes[:, None])  # (K, J)
 
     # p_b contribution: blank rows only
-    pb_contrib = jnp.where(kind == 0, p_tot[parent] + blank_lp, NEG_INF)
+    pb_contrib = jnp.where(kind == 0, p_tot[:, None] + blank_lp, NEG_INF)
     # p_nb contributions
-    repeat_contrib = jnp.where((kind == 1) & (parent_last >= 0),
-                               p_nb[parent] + last_lp[parent], NEG_INF)
-    is_repeat_ext = cand_char == parent_last
-    ext_src = jnp.where(is_repeat_ext, p_b[parent], p_tot[parent])
+    repeat_contrib = jnp.where((kind == 1) & (last[:, None] >= 0),
+                               p_nb[:, None] + last_lp[:, None], NEG_INF)
+    is_repeat_ext = cand_char == last[:, None]                  # (K, J)
+    ext_src = jnp.where(is_repeat_ext, p_b[:, None], p_tot[:, None])
     ext_contrib = jnp.where(kind >= 2, ext_src + cand_char_lp, NEG_INF)
     if lm is not None:
         # char-bigram shallow fusion: every extension pays
-        # alpha * logP(c | last char of the parent) + beta
+        # alpha * logP(c | last char of the parent) + beta; both table
+        # lookups are one-hot reduces over the (V+1, V) table (V is tiny)
         lm_table, lm_alpha, lm_beta = lm
         V = lm_table.shape[1]
-        ctx = jnp.where(parent_last >= 0, parent_last, V)
-        lm_lp = lm_table[ctx, jnp.clip(cand_char, 0, V - 1)]
+        ctx = jnp.where(last >= 0, last, V)                     # (K,)
+        ctx_onehot = ctx[:, None] == jnp.arange(V + 1)[None, :]  # (K, V+1)
+        ctx_rows = jnp.sum(
+            jnp.where(ctx_onehot[:, :, None], lm_table[None, :, :], 0.0), 1)
+        char_onehot = cand_char[:, :, None] == jnp.arange(V)[None, None, :]
+        lm_lp = jnp.sum(
+            jnp.where(char_onehot, ctx_rows[:, None, :], 0.0), -1)  # (K, J)
         ext_contrib = jnp.where(kind >= 2,
                                 ext_contrib + lm_alpha * lm_lp + lm_beta,
                                 ext_contrib)
@@ -101,50 +117,74 @@ def _step(state, lp_t, active, blank_id, K, N, L, lm=None):
     pnb_contrib = jnp.where(kind == 0, NEG_INF, pnb_contrib)
 
     # dead candidates: parent beam itself dead
-    parent_dead = p_tot[parent] <= NEG_INF / 2
+    parent_dead = (p_tot <= NEG_INF / 2)[:, None]
     pb_contrib = jnp.where(parent_dead, NEG_INF, pb_contrib)
     pnb_contrib = jnp.where(parent_dead, NEG_INF, pnb_contrib)
-    # also kill rows whose own mass is empty so their hashes can't merge in
+    # also kill rows whose own mass is empty so their hashes can't merge in;
+    # sentinels are unique per ROW (the old parent*2+kind formula could
+    # collide two dead rows — harmless, but unique ids are strictly safer)
     row_dead = (pb_contrib <= NEG_INF / 2) & (pnb_contrib <= NEG_INF / 2)
-    new_hash = jnp.where(row_dead, jnp.uint32(0xFFFFFFFF) - parent.astype(jnp.uint32)
-                         * jnp.uint32(2) - kind.astype(jnp.uint32), new_hash)
+    row_id = jnp.arange(M, dtype=jnp.uint32).reshape(K, J)
+    new_hash = jnp.where(row_dead, jnp.uint32(0xFFFFFFFF) - row_id, new_hash)
 
-    # ---- merge rows with equal prefix hash ----
-    order = jnp.argsort(new_hash)
-    sorted_hash = new_hash[order]
-    seg_start = jnp.concatenate([jnp.ones(1, bool),
-                                 sorted_hash[1:] != sorted_hash[:-1]])
-    seg_ids = jnp.cumsum(seg_start) - 1                          # (M,)
-    num_segments = M
-    seg_pb = _segment_logsumexp(pb_contrib[order], seg_ids, num_segments)
-    seg_pnb = _segment_logsumexp(pnb_contrib[order], seg_ids, num_segments)
-    seg_score = _logsumexp2(seg_pb, seg_pnb)
+    # ---- merge rows with equal prefix hash: dense pairwise, no sort ----
+    h = new_hash.reshape(M)
+    pb = pb_contrib.reshape(M)
+    pnb = pnb_contrib.reshape(M)
+    same = h[:, None] == h[None, :]                             # (M, M)
 
-    # representative row (first in sorted order) for each segment
-    first_idx = jnp.where(seg_start, jnp.arange(M), M - 1)
-    seg_repr = jax.ops.segment_min(first_idx, seg_ids, num_segments=num_segments)
-    seg_repr = jnp.minimum(seg_repr, M - 1)
+    def masked_lse(v):
+        mv = jnp.where(same, v[None, :], NEG_INF)               # (M, M)
+        m = jnp.max(mv, -1)
+        m = jnp.where(m <= NEG_INF / 2, NEG_INF, m)
+        shifted = jnp.exp(jnp.clip(mv - m[:, None], -80.0, 0.0))
+        shifted = jnp.where(mv <= NEG_INF / 2, 0.0, shifted)
+        s = jnp.sum(shifted, -1)
+        out = m + jnp.log(jnp.maximum(s, 1e-30))
+        return jnp.where(s <= 0.0, NEG_INF, out)
 
-    # top-K segments
-    top_score, top_seg = jax.lax.top_k(seg_score, K)
-    repr_rows = order[seg_repr[top_seg]]                         # (K,) into M
-    new_parent = parent[repr_rows]
-    new_char = cand_char[repr_rows] * (kind[repr_rows] >= 2) \
-        + (-1) * (kind[repr_rows] < 2)
+    merged_pb = masked_lse(pb)                                  # (M,)
+    merged_pnb = masked_lse(pnb)
+    # one representative per hash group: the smallest original row index.
+    # NON-canonical rows must die COMPLETELY (mass AND hash): top_k fills
+    # spare beam slots from the NEG_INF-score ties, and a non-canonical row
+    # still carrying the group's merged mass/hash would duplicate a live
+    # prefix across beams — double-counting its probability every later step
+    first_idx = jnp.min(jnp.where(same, jnp.arange(M)[None, :], M), -1)
+    canonical = first_idx == jnp.arange(M)
+    merged_pb = jnp.where(canonical, merged_pb, NEG_INF)
+    merged_pnb = jnp.where(canonical, merged_pnb, NEG_INF)
+    h = jnp.where(canonical, h,
+                  jnp.uint32(0xFFFFFFFF) - jnp.arange(M, dtype=jnp.uint32))
+    score = jnp.where(canonical, _logsumexp2(merged_pb, merged_pnb), NEG_INF)
 
-    # rebuild prefix buffers
-    base_prefix = prefixes[new_parent]                           # (K, L)
-    base_len = lengths[new_parent]
+    # top-K groups, indexed directly in original row space
+    _, top_rows = jax.lax.top_k(score, K)                       # (K,) into M
+    sel = top_rows[:, None] == jnp.arange(M)[None, :]           # (K, M)
+
+    def pick(v, fill=0):
+        # exact one-hot select (exactly one True per sel row; NEG_INF is a
+        # finite constant so the masked sum is exact for f32 and ints alike)
+        return jnp.sum(jnp.where(sel, v[None, :], fill), -1)
+
+    new_parent = top_rows // J                                  # (K,) arith
+    new_char = pick(jnp.broadcast_to(cand_char, (K, J)).reshape(M))
+    new_hashes = pick(h)
+    new_pb = pick(merged_pb)
+    new_pnb = pick(merged_pnb)
+
+    # rebuild prefix buffers; parent state via one-hot reduce over K
+    par_onehot = new_parent[:, None] == jnp.arange(K)[None, :]  # (K, K)
+    base_prefix = jnp.sum(
+        jnp.where(par_onehot[:, :, None], prefixes[None, :, :], 0), 1)
+    base_len = jnp.sum(jnp.where(par_onehot, lengths[None, :], 0), -1)
+    parent_last = jnp.sum(jnp.where(par_onehot, last[None, :], 0), -1)
     write_pos = jnp.minimum(base_len, L - 1)
-    appended = jnp.where(
+    new_prefixes = jnp.where(
         (jnp.arange(L)[None, :] == write_pos[:, None]) & (new_char >= 0)[:, None],
         jnp.maximum(new_char, 0)[:, None], base_prefix)
-    new_prefixes = appended
     new_lengths = jnp.minimum(base_len + (new_char >= 0), L - 1)
-    new_last = jnp.where(new_char >= 0, new_char, last[new_parent])
-    new_hashes = new_hash[repr_rows]
-    new_pb = seg_pb[top_seg]
-    new_pnb = seg_pnb[top_seg]
+    new_last = jnp.where(new_char >= 0, new_char, parent_last)
 
     out = (new_prefixes, new_lengths, new_hashes, new_last, new_pb, new_pnb)
     # freeze the state past the utterance's valid length (active is scalar)
@@ -152,11 +192,13 @@ def _step(state, lp_t, active, blank_id, K, N, L, lm=None):
 
 
 @functools.partial(jax.jit, static_argnames=('beam_width', 'cutoff_top_n',
-                                             'max_len', 'blank_id'))
+                                             'max_len', 'blank_id', 'unroll',
+                                             'compact_tokens'))
 def beam_search_device(log_probs, input_lengths, blank_id: int,
                        beam_width: int = 16, cutoff_top_n: int = 8,
                        max_len: int = 256, lm_table=None,
-                       lm_alpha=0.3, lm_beta=0.0):
+                       lm_alpha=0.3, lm_beta=0.0, unroll: int = 1,
+                       compact_tokens: bool = False):
     """Batched on-device prefix beam search.
 
     log_probs: (B, T, C) log-softmax; input_lengths: (B,) int frames.
@@ -164,6 +206,9 @@ def beam_search_device(log_probs, input_lengths, blank_id: int,
     (decode/beam.char_lm_table) for on-device shallow fusion.
     Returns (tokens (B, K, max_len) int32 -1-padded-by-length convention via
     `lengths`, lengths (B, K) int32, scores (B, K) f32), best beam first.
+    compact_tokens=True casts tokens to uint8 (C <= 256) or int16 on device
+    so a host caller fetches 1/4 the bytes (the (B, K, L) token buffer
+    dominates the transfer; ids are < C so the cast is lossless).
     """
     B, T, C = log_probs.shape
     K, N, L = beam_width, min(cutoff_top_n, C - 1), max_len
@@ -187,10 +232,15 @@ def beam_search_device(log_probs, input_lengths, blank_id: int,
             return _step(state, lp_t, t < xlen, blank_id, K, N, L, lm=lm), None
 
         state, _ = jax.lax.scan(body, (prefixes, lengths, hashes, last, p_b, p_nb),
-                                (lp, jnp.arange(T)))
+                                (lp, jnp.arange(T)), unroll=unroll)
         prefixes, lengths, hashes, last, p_b, p_nb = state
         score = _logsumexp2(p_b, p_nb)
         order = jnp.argsort(-score)
         return prefixes[order], lengths[order], score[order]
 
-    return jax.vmap(one)(log_probs.astype(jnp.float32), input_lengths)
+    tokens, lengths, scores = jax.vmap(one)(log_probs.astype(jnp.float32),
+                                            input_lengths)
+    if compact_tokens:
+        # prefixes are initialized to 0 and never negative — ids are < C
+        tokens = tokens.astype(jnp.uint8 if C <= 256 else jnp.int16)
+    return tokens, lengths, scores

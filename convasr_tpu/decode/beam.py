@@ -35,6 +35,7 @@ class ArpaLM:
     LOG10 = math.log(10.0)
 
     def __init__(self, path: str):
+        self.path = str(path)   # native rescoring fast path (load_native_lm)
         self.ngrams: typing.Dict[tuple, typing.Tuple[float, float]] = {}
         self.order = 0
         current = 0
@@ -209,15 +210,27 @@ def rescore_with_lm(hyps: typing.List[typing.Tuple[typing.List[int], float]],
 
     The two-stage recipe for the ON-DEVICE beam (ops/beam_device.py): the
     accelerator produces top-K CTC hypotheses, the host adds LM evidence —
-    K × num_words LM lookups instead of per-frame fusion."""
-    rescored = []
-    for tokens, ctc_score in hyps:
-        text = ''.join(labels[t] for t in tokens)
-        words = text.split()
-        lm_score = 0.0
-        for i in range(len(words)):
-            lm_score += lm.score(words[:i + 1])
-        rescored.append((tokens, ctc_score + alpha * lm_score + beta * len(words)))
+    K × num_words LM lookups instead of per-frame fusion. When the C++
+    library is available the whole loop runs natively over the same mmap'd
+    LM file (ctc_beam.cpp lm_rescore, identical Katz chain) — the python
+    per-word loop costs ~1 ms/utt and binds the hybrid decoder pipeline."""
+    native = load_native_lm(getattr(lm, 'path', None))
+    if native is not None:
+        texts = [''.join(labels[t] for t in tokens) for tokens, _ in hyps]
+        lm_scores, word_counts = native.rescore(texts)
+        rescored = [(tokens, ctc_score + alpha * float(s) + beta * int(w))
+                    for (tokens, ctc_score), s, w
+                    in zip(hyps, lm_scores, word_counts)]
+    else:
+        rescored = []
+        for tokens, ctc_score in hyps:
+            text = ''.join(labels[t] for t in tokens)
+            words = text.split()
+            lm_score = 0.0
+            for i in range(len(words)):
+                lm_score += lm.score(words[:i + 1])
+            rescored.append(
+                (tokens, ctc_score + alpha * lm_score + beta * len(words)))
     rescored.sort(key=lambda h: -h[1])
     return rescored
 
@@ -281,8 +294,56 @@ def load_native():
     lib.bsd_has_lm.restype = ctypes.c_int
     lib.bsd_has_lm.argtypes = [ctypes.c_void_p]
     lib.bsd_free.argtypes = [ctypes.c_void_p]
+    lib.lm_create.restype = ctypes.c_void_p
+    lib.lm_create.argtypes = [ctypes.c_char_p]
+    lib.lm_order.restype = ctypes.c_int
+    lib.lm_order.argtypes = [ctypes.c_void_p]
+    lib.lm_rescore.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                               np.ctypeslib.ndpointer(np.float32, flags='C'),
+                               np.ctypeslib.ndpointer(np.int32, flags='C')]
+    lib.lm_destroy.argtypes = [ctypes.c_void_p]
     _lib_cache['lib'] = lib
     return lib
+
+
+class NativeWordLM:
+    """C++ word-LM batch rescorer over the mmap'd CNLM/ARPA file
+    (native/ctc_beam.cpp lm_rescore) — same Katz backoff chain as
+    ArpaLM.score/BinaryLM.score, without the per-word python cost."""
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._handle = handle
+        self.order = lib.lm_order(handle)
+
+    def rescore(self, texts: typing.Sequence[str]):
+        """-> (lm_scores f32 (N,), word_counts i32 (N,)): per text, the sum
+        of logP(word | preceding words) and the word count."""
+        blob = b'\0'.join(t.encode('utf-8') for t in texts) + b'\0'
+        lm_scores = np.zeros(len(texts), np.float32)
+        word_counts = np.zeros(len(texts), np.int32)
+        if texts:
+            self._lib.lm_rescore(self._handle, blob, len(texts),
+                                 lm_scores, word_counts)
+        return lm_scores, word_counts
+
+
+def load_native_lm(path: typing.Optional[str]) -> typing.Optional[NativeWordLM]:
+    """Process-cached native LM handle for `path` (None when the path is
+    empty, the compiler is unavailable, or the file fails to load)."""
+    if not path:
+        return None
+    key = ('wordlm', path)
+    if key in _lib_cache:
+        return _lib_cache[key]
+    lib = load_native()
+    out = None
+    if lib is not None:
+        handle = lib.lm_create(str(path).encode('utf-8'))
+        if handle:
+            out = NativeWordLM(lib, handle)
+    _lib_cache[key] = out
+    return out
 
 
 class GreedyDecoder:

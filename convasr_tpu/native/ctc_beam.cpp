@@ -486,4 +486,58 @@ int bsd_decode(void* handle, const float* log_probs, int T, int C, int topk,
 
 void bsd_free(void* handle) { delete static_cast<Decoder*>(handle); }
 
+// ---------------- standalone word-LM scoring (hybrid decoder) ----------------
+//
+// The hybrid decoder (decode/beam.decode_device_with_lm) rescores K complete
+// hypotheses per utterance with the word LM. Doing that per-word in Python
+// costs ~1 ms/utt (hash + searchsorted per call) and binds the pipeline once
+// the device beam is fast; these entry points batch the whole loop in C++
+// over the same mmap'd CNLM (or text ARPA), with identical Katz semantics.
+
+void* lm_create(const char* path) {
+  auto* lm = new NgramLM();
+  if (path == nullptr || path[0] == '\0' || !lm->load(path)) {
+    delete lm;
+    return nullptr;
+  }
+  return lm;
+}
+
+int lm_order(void* handle) { return static_cast<NgramLM*>(handle)->order; }
+
+// texts: n_texts NUL-terminated UTF-8 strings (space-separated words),
+// concatenated. Per text i: out_lm[i] = sum_j logP(word_j | preceding words)
+// (full Katz backoff, context truncated to the LM order — exactly
+// decode/beam.rescore_with_lm's python loop) and out_words[i] = word count.
+void lm_rescore(void* handle, const char* texts, int n_texts, float* out_lm,
+                int* out_words) {
+  auto* lm = static_cast<NgramLM*>(handle);
+  const char* p = texts;
+  std::vector<int> ids;
+  for (int i = 0; i < n_texts; ++i) {
+    ids.clear();
+    float total = 0.0f;
+    int words = 0;
+    const char* start = p;
+    for (;; ++p) {
+      if (*p == ' ' || *p == '\0') {
+        if (p > start) {
+          ids.push_back(lm->word_id(std::string(start, p - start)));
+          size_t begin = ids.size() > static_cast<size_t>(lm->order)
+                             ? ids.size() - lm->order : 0;
+          total += lm->score_from(ids, begin);
+          ++words;
+        }
+        start = p + 1;
+        if (*p == '\0') break;
+      }
+    }
+    ++p;  // past the NUL
+    out_lm[i] = total;
+    out_words[i] = words;
+  }
+}
+
+void lm_destroy(void* handle) { delete static_cast<NgramLM*>(handle); }
+
 }  // extern "C"

@@ -160,6 +160,7 @@ class BinaryLM:
     python fallback and `char_lm_table` device fusion unchanged."""
 
     def __init__(self, path: str):
+        self.path = str(path)   # native rescoring fast path (decode/beam.py)
         self._f = open(path, 'rb')
         self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
         mm = self._mm

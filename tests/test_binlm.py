@@ -110,3 +110,53 @@ class TestConsumers:
         ta = char_lm_table(ArpaLM(arpa), _Tok.vocab)
         tb = char_lm_table(BinaryLM(binlm), _Tok.vocab)
         np.testing.assert_allclose(tb, ta, atol=1e-5)
+
+
+class TestNativeRescore:
+    """C++ batch word-LM rescoring (ctc_beam.cpp lm_rescore) vs the python
+    per-word loop — the hybrid decoder's host stage (decode/beam.py
+    rescore_with_lm) must rank identically whichever path runs."""
+
+    @pytest.mark.skipif(load_native() is None, reason='no g++')
+    def test_score_parity_incl_oov(self, lm_paths):
+        from convasr_tpu.decode.beam import load_native_lm
+        arpa, binlm = lm_paths
+        native = load_native_lm(binlm)
+        assert native is not None and native.order == 3
+        py = BinaryLM(binlm)
+        rng = random.Random(4)
+        pool = WORDS + ['неизвестное', 'слово', '']
+        texts = [' '.join(rng.choice(pool) for _ in range(rng.randint(0, 7)))
+                 for _ in range(200)] + ['', ' ', '  аб  ']
+        lm_scores, word_counts = native.rescore(texts)
+        for text, s, w in zip(texts, lm_scores, word_counts):
+            words = text.split()
+            expect = sum(py.score(words[:i + 1]) for i in range(len(words)))
+            assert w == len(words), text
+            assert s == pytest.approx(expect, abs=1e-4), text
+
+    @pytest.mark.skipif(load_native() is None, reason='no g++')
+    def test_rescore_with_lm_ranking_equal(self, lm_paths, monkeypatch):
+        """rescore_with_lm through the native path == forced python path."""
+        import convasr_tpu.decode.beam as beam_mod
+        arpa, binlm = lm_paths
+        lm = load_lm(binlm)
+        labels = [str(l) for l in _Tok.vocab]
+        rng = random.Random(5)
+        char_pool = list('абвг')
+        hyps = []
+        for k in range(16):
+            n_words = rng.randint(1, 4)
+            toks = []
+            for i in range(n_words):
+                if i:
+                    toks.append(labels.index(' '))
+                toks += [labels.index(rng.choice(char_pool))
+                         for _ in range(rng.randint(1, 4))]
+            hyps.append((toks, -float(k)))
+        got_native = beam_mod.rescore_with_lm(hyps, labels, lm, 0.7, 0.2)
+        monkeypatch.setattr(beam_mod, 'load_native_lm', lambda path: None)
+        got_python = beam_mod.rescore_with_lm(hyps, labels, lm, 0.7, 0.2)
+        assert [t for t, _ in got_native] == [t for t, _ in got_python]
+        for (_, sa), (_, sb) in zip(got_native, got_python):
+            assert sa == pytest.approx(sb, abs=1e-4)

@@ -65,7 +65,8 @@ def build_decoder(args, tokenizer, vocab=None):
                     lm_path=getattr(args, 'lm', None),
                     alpha=args.beam_alpha, beta=args.beam_beta,
                     beam_width=args.beam_width,
-                    cutoff_top_n=args.beam_cutoff_top_n)
+                    cutoff_top_n=args.beam_cutoff_top_n,
+                    max_len=getattr(args, 'beam_max_len', None) or None)
 
         return _HybridBeam()
     if choice == 'BeamSearchDecoder':

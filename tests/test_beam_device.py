@@ -186,3 +186,46 @@ class TestDeviceLMFusion:
                                       lm_table=jnp.asarray(table),
                                       lm_alpha=5.0, lm_beta=0.0)
         assert not np.array_equal(np.asarray(t0), np.asarray(t1))
+
+
+class TestOutputOptions:
+    """compact_tokens / max_len / unroll are pure layout knobs — the decoded
+    hypotheses and scores must not change."""
+
+    def test_compact_and_unroll_equal_baseline(self):
+        import jax.numpy as jnp
+        from convasr_tpu.ops.beam_device import beam_search_device
+        rng = np.random.RandomState(7)
+        lp = np.log(rng.dirichlet(np.ones(6) * 0.5,
+                                  size=(3, 24)).astype(np.float32))
+        lens = jnp.asarray([24, 17, 24], jnp.int32)
+        base = beam_search_device(jnp.asarray(lp), lens, 5, beam_width=8,
+                                  cutoff_top_n=4, max_len=25)
+        compact = beam_search_device(jnp.asarray(lp), lens, 5, beam_width=8,
+                                     cutoff_top_n=4, max_len=25,
+                                     compact_tokens=True, unroll=4)
+        assert np.asarray(compact[0]).dtype == np.uint8
+        bt, bl, bs = map(np.asarray, base)
+        ct, cl, cs = map(np.asarray, compact)
+        np.testing.assert_array_equal(bl, cl)
+        np.testing.assert_allclose(bs, cs, rtol=1e-6)
+        for b in range(bt.shape[0]):
+            for k in range(bt.shape[1]):
+                np.testing.assert_array_equal(bt[b, k, :bl[b, k]],
+                                              ct[b, k, :cl[b, k]].astype(np.int32))
+
+    def test_max_len_caps_hypotheses(self):
+        """A small max_len truncates token buffers but the state freeze/append
+        logic stays well-formed (lengths <= L-1, no garbage past length)."""
+        import jax.numpy as jnp
+        from convasr_tpu.ops.beam_device import beam_search_device
+        rng = np.random.RandomState(8)
+        # char-dense posteriors so hypotheses exceed the cap
+        lp = np.log(rng.dirichlet(np.ones(4) * 0.3,
+                                  size=(2, 30)).astype(np.float32))
+        toks, lens, scores = beam_search_device(
+            jnp.asarray(lp), jnp.asarray([30, 30], jnp.int32), 3,
+            beam_width=4, cutoff_top_n=3, max_len=6)
+        lens = np.asarray(lens)
+        assert lens.max() <= 5
+        assert np.isfinite(np.asarray(scores)[:, 0]).all()

@@ -207,7 +207,8 @@ def main(args):
             tok, lm_path=args.lm, beam_width=args.beam_width,
             beam_alpha=args.beam_alpha, beam_beta=args.beam_beta,
             cutoff_top_n=args.beam_cutoff_top_n,
-            num_workers=args.decoder_workers)
+            num_workers=args.decoder_workers,
+            rescore=getattr(args, 'beam_rescore', False))
         K = min(max(args.beam_cutoff_top_n, 1), args.num_classes)
 
         if qtree is not None:
@@ -438,6 +439,10 @@ def build_parser():
                              'the device, see transcribe --fused)')
     parser.add_argument('--lm', default=None,
                         help='ARPA(.gz)/CNLM-binary LM for --decoder')
+    parser.add_argument('--beam-rescore', action='store_true',
+                        help='with --decoder BeamSearchDecoder --lm: '
+                             'word-LM rescoring of complete hypotheses '
+                             'instead of per-frame in-beam fusion')
     parser.add_argument('--beam-max-len', type=int, default=0,
                         help='device-beam hypothesis-buffer cap (0 = T+1, '
                              'exact); speech emits ~T/10 tokens, so ~T/4 '

@@ -1424,6 +1424,8 @@ def build_parser():
     parser.add_argument('--beam-alpha', type=float, default=0.4)
     parser.add_argument('--beam-beta', type=float, default=1.0)
     parser.add_argument('--beam-cutoff-top-n', type=int, default=16)
+    parser.add_argument('--beam-rescore', action='store_true',
+                        help='with --decoder BeamSearchDecoder --lm: rescore the top complete hypotheses with the word LM instead of per-frame in-beam fusion (equals the device hybrid WER at host-beam speed; streaming finals inherit it)')
     parser.add_argument('--beam-max-len', type=int, default=0,
                         help='hybrid-decoder hypothesis-buffer cap (0 = frames+1, exact; speech emits ~frames/10 tokens, so ~frames/4 cuts device-beam HBM traffic and the fetch)')
     # --onnx names follow the reference CLI; the artifact is StableHLO

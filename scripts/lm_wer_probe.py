@@ -290,6 +290,38 @@ def main():
             if best_h is None or w < best_h[0]:
                 best_h = (w, alpha, beta)
 
+    # wider device beam at the best (alpha, beta) — K is cheap after the
+    # r4 gather-free rewrite, does accuracy keep improving?
+    for K in [32, 64]:
+        toks = decode_device_with_lm(lp_pad, ol_arr, tok, lm_path=word_arpa,
+                                     alpha=best_h[1], beta=best_h[2],
+                                     beam_width=K, cutoff_top_n=6)
+        print(f'hybrid K={K} a={best_h[1]} b={best_h[2]}: '
+              f'WER {score([to_text(tk) for tk in toks]):.3f}')
+
+    # HOST-ONLY hybrid: host beam (no in-beam LM) top-16 complete hypotheses
+    # -> word-LM rescoring. If this matches the device hybrid's WER, the
+    # recipe transfers to streaming finals with zero device changes.
+    from convasr_tpu.decode.beam import load_lm, rescore_with_lm
+    wlm = load_lm(word_arpa)
+    labels_l = [str(l).lower() for l in tok.vocab]
+    dec_k = BeamSearchDecoder(tok, beam_width=16, cutoff_top_n=6, topk=16)
+    best_hh = None
+    for alpha in [0.3, 0.6, 1.0, 1.5]:
+        for beta in [0.0, 0.5, 1.0]:
+            hyps = []
+            for lp, ol in zip(lps, olens):
+                k_hyps = dec_k.decode_one(lp[:ol])
+                re = rescore_with_lm(k_hyps, labels_l, wlm, alpha, beta)
+                hyps.append(to_text(list(re[0][0])))
+            w = score(hyps)
+            print(f'host-beam top-16 + wordLM rescoring a={alpha} b={beta}: '
+                  f'WER {w:.3f}')
+            if best_hh is None or w < best_hh[0]:
+                best_hh = (w, alpha, beta)
+    print(f'best host-only hybrid: WER {best_hh[0]:.3f} at a={best_hh[1]} '
+          f'b={best_hh[2]} (device hybrid best {best_h[0]:.3f})')
+
     # decoder throughput on this corpus (same inputs; val-set utt/s)
     import time as _time
 

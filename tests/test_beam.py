@@ -232,3 +232,58 @@ class TestGzippedArpa:
         out_gz = dec_gz.decode(lp, [20])
         out_plain = dec_plain.decode(lp, [20])
         assert repr(out_gz) == repr(out_plain)
+
+
+class TestRescoreMode:
+    """rescore=True: acoustic-only beam + word-LM rescoring of complete
+    hypotheses (the host-only hybrid recipe — scripts/lm_wer_probe.py
+    measured it equal to the device hybrid's WER, better than in-beam
+    fusion on the confusable probe)."""
+
+    def test_equals_manual_pipeline(self, lm_path):
+        from convasr_tpu.decode.beam import load_lm, rescore_with_lm
+        tok = CharTokenizer('деимпрстüв'.replace('ü', 'о'))
+        labels = [s.lower() for s in tok.vocab]
+        rng = np.random.RandomState(3)
+        lp = softlog(rng.dirichlet(np.ones(tok.vocab_size) * 2, size=14))
+        dec = BeamSearchDecoder(tok, lm_path=lm_path, beam_width=16,
+                                beam_alpha=0.7, beam_beta=0.3,
+                                rescore=True, rescore_topk=8)
+        got = dec.decode_one(lp)
+        base = BeamSearchDecoder(tok, beam_width=16, topk=8).decode_one(lp)
+        manual = rescore_with_lm(base, labels, load_lm(lm_path), 0.7, 0.3)
+        assert got[0][0] == manual[0][0]
+        assert got[0][1] == pytest.approx(manual[0][1], abs=1e-3)
+
+    def test_rescore_steers_to_known_word(self, lm_path):
+        """Same мип/мир flip as the in-beam fusion test, via rescoring."""
+        tok = CharTokenizer('мипр')
+        labels = [s.lower() for s in tok.vocab]
+        m, i, p, r = [labels.index(c) for c in 'мипр']
+        C = tok.vocab_size
+        frames = []
+        for target, alt, pr in [(m, m, 0.95), (i, i, 0.95), (p, r, 0.55)]:
+            probs = np.full(C, 0.001)
+            probs[target] = pr
+            probs[alt] = 1.0 - pr - 0.001 * (C - 2)
+            frames.append(probs)
+        space_frame = np.full(C, 0.001)
+        space_frame[tok.space_id] = 1.0 - 0.001 * (C - 1)
+        frames.append(space_frame)
+        lp = softlog(np.stack(frames))
+        no_lm = BeamSearchDecoder(tok, beam_width=16).decode_one(lp)
+        resc = BeamSearchDecoder(tok, lm_path=lm_path, beam_width=16,
+                                 beam_alpha=2.0, beam_beta=0.0,
+                                 rescore=True).decode_one(lp)
+        decode = lambda toks: ''.join(labels[t] for t in toks)
+        assert decode(no_lm[0][0]).strip() == 'мип'
+        assert decode(resc[0][0]).strip() == 'мир'
+
+    def test_topk_contract_preserved(self, lm_path):
+        tok = CharTokenizer('аб')
+        rng = np.random.RandomState(4)
+        lp = softlog(rng.dirichlet(np.ones(tok.vocab_size), size=(2, 10)))
+        dec = BeamSearchDecoder(tok, lm_path=lm_path, beam_width=8,
+                                beam_alpha=0.5, rescore=True, topk=3)
+        out = dec.decode(lp, output_lengths=[10, 7])
+        assert len(out) == 2 and all(len(o) == 3 for o in out)

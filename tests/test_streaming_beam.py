@@ -202,3 +202,30 @@ class TestBatchedEngineBeamEqualsOffline:
         assert finals and finals[0] == 'bc'   # endpoint fired mid-stream
         finals.extend(e.text for e in s.flush() if e.is_final)
         assert ''.join(finals) == 'bcd'
+
+
+class TestRescoreFinals:
+    """Streaming finals through a rescore-mode decoder (acoustic beam +
+    word-LM rescoring — the host-only hybrid recipe) must still equal the
+    offline decode of the same audio with the same decoder."""
+
+    def test_finals_equal_offline_rescore(self, tmp_path):
+        arpa = tmp_path / 'words.arpa'
+        arpa.write_text('\\data\\\n'
+                        'ngram 1=3\n\n'
+                        '\\1-grams:\n'
+                        '-0.3\tab\n-0.7\tba\n-1.0\tdc\n\n'
+                        '\\end\\\n')
+        rng = np.random.RandomState(5)
+        tokens = rng.randint(0, 5, size=100).tolist()
+        dec = BeamSearchDecoder(FakeTokenizer(), lm_path=str(arpa),
+                                beam_width=8, cutoff_top_n=3,
+                                beam_alpha=1.5, beam_beta=0.5,
+                                rescore=True, rescore_topk=8)
+        assert dec.rescore
+        helper = TestPerStreamBeamEqualsOffline()
+        st, events, sig = helper.run_stream(tokens, dec, k=5)
+        offline = offline_beam_text(dec, sig)
+        finals = [e.text for e in events if e.is_final]
+        assert ''.join(finals) == offline
+        assert st.full_text() == offline

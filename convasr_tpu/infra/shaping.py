@@ -23,7 +23,10 @@ def _make(axes: str):
 
 
 # the reference's markers (shaping.py:6-45)
+# BTC is this repo's addition: the reference is channels-first (BCT) but
+# everything on device here is channels-last (B, T, C).
 B = _make('B')
+BTC = _make('BTC')
 BS = _make('BS')
 BT = _make('BT')
 Bt = _make('Bt')

@@ -20,6 +20,9 @@ import typing
 import jax
 import jax.numpy as jnp
 
+from ..infra import shaping
+from ..infra.shaping import shapecheck
+
 NEG_INF = -1e30
 
 
@@ -38,8 +41,9 @@ def _diff_labels(ext_targets: jnp.ndarray, blank: int) -> jnp.ndarray:
     return diff.at[:, 2:].set(ext_targets[:, 2:] != ext_targets[:, :-2])
 
 
-def ctc_loss(log_probs: jnp.ndarray, targets: jnp.ndarray,
-             input_lengths: jnp.ndarray, target_lengths: jnp.ndarray,
+@shapecheck
+def ctc_loss(log_probs: shaping.BTC, targets: shaping.BY,
+             input_lengths: shaping.B, target_lengths: shaping.B,
              blank: typing.Optional[int] = None) -> jnp.ndarray:
     """Per-utterance CTC negative log-likelihood.
 
@@ -102,8 +106,9 @@ def ctc_loss(log_probs: jnp.ndarray, targets: jnp.ndarray,
     return -ll
 
 
-def ctc_alignment(log_probs: jnp.ndarray, targets: jnp.ndarray,
-                  input_lengths: jnp.ndarray, target_lengths: jnp.ndarray,
+@shapecheck
+def ctc_alignment(log_probs: shaping.BTC, targets: shaping.BY,
+                  input_lengths: shaping.B, target_lengths: shaping.B,
                   blank: typing.Optional[int] = None) -> jnp.ndarray:
     """Viterbi forced alignment -> frame index of each target char, (B, L).
 

@@ -177,6 +177,7 @@ class BatchedStreamingEngine:
         self.beam_topk = beam_topk
         self.frame_dur = None     # window_sec / full output frames (set lazily)
         self.tail_frames = None   # fused fetch length (None = full window)
+        self._beam_pack_u8 = False  # set by _init_fused when vocab <= 256
         self._tick_fused = None
         self.lock = threading.RLock()
         self.sessions: typing.Dict[int, BatchedStreamingSession] = {}
@@ -277,6 +278,11 @@ class BatchedStreamingEngine:
         K = min(self.beam_topk, vocab)
         # float16 packs [log-prob, class-id] losslessly for ids <= 2048
         assert K == 0 or vocab <= 2048, vocab
+        # char vocabs fit uint8 ids: pack [f16 val bytes, u8 id] into ONE
+        # (N, F, K, 3) uint8 fetch = 3/4 the bytes of the (N, F, K, 2) f16
+        # stack (the beam tail fetch is the beam mode's capacity cost —
+        # ARCHITECTURE.md "beam+LM finals cost ~12 budget points")
+        self._beam_pack_u8 = bool(K) and vocab <= 256
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _tick(weights, buf, chunk_wire, advance):
@@ -292,9 +298,14 @@ class BatchedStreamingEngine:
             lp = apply_lp(weights, buf, jnp.ones((N,), jnp.float32))
             if K:
                 # beam mode: the tail fetch carries top-k (log-prob, id)
-                # pairs — (N, F, k, 2) f16 ≈ 4 KB/stream @ k=8 vs the 136 B
-                # uint8 argmax; top-1 doubles as the greedy/interim path
+                # pairs — 3 B/frame/k packed (or (N, F, k, 2) f16) vs the
+                # 136 B uint8 argmax; top-1 doubles as the greedy/interim path
                 vals, ids = jax.lax.top_k(lp[:, frames - F:, :], K)
+                if self._beam_pack_u8:
+                    vb = jax.lax.bitcast_convert_type(
+                        vals.astype(jnp.float16), jnp.uint8)   # (N, F, K, 2)
+                    return buf, jnp.concatenate(
+                        [vb, ids.astype(jnp.uint8)[..., None]], axis=-1)
                 return buf, jnp.stack(
                     [vals.astype(jnp.float16), ids.astype(jnp.float16)], -1)
             idx = jnp.argmax(lp, -1).astype(idx_dtype)
@@ -355,11 +366,17 @@ class BatchedStreamingEngine:
                     jnp.asarray(advance))
                 self.ticks += 1
                 if self.beam_topk:
-                    packed = np.asarray(tail, np.float32)  # (N, F, k, 2)
+                    if self._beam_pack_u8:
+                        packed = np.asarray(tail)          # (N, F, k, 3) u8
+                        vals = np.ascontiguousarray(packed[..., :2]) \
+                            .view(np.float16)[..., 0].astype(np.float32)
+                        ids_all = packed[..., 2].astype(np.int64)
+                    else:
+                        packed = np.asarray(tail, np.float32)  # (N, F, k, 2)
+                        vals, ids_all = packed[..., 0], packed[..., 1].astype(np.int64)
                     for s in ready:
-                        vals = packed[s, :, :, 0]
-                        ids = packed[s, :, :, 1].astype(np.int64)
-                        self.sessions[s].inbox.append((ids[:, 0], vals, ids))
+                        self.sessions[s].inbox.append(
+                            (ids_all[s, :, 0], vals[s], ids_all[s]))
                     return len(ready)
                 idx = np.asarray(tail)              # (N, tail_frames) uint8
                 for s in ready:

@@ -180,6 +180,29 @@ class TestBatchedEngineBeamEqualsOffline:
         for i, sig in enumerate(sigs):
             assert ''.join(finals[i]) == offline_beam_text(dec, sig), i
 
+    def test_beam_tail_fetch_is_packed_uint8(self):
+        """Char vocabs ride the beam tail fetch as (N, F, K, 3) uint8 —
+        [f16 log-prob bytes, u8 id] — 3/4 the bytes of the f16 stack, and
+        the delivered inbox entry round-trips the log-probs exactly as f16."""
+        engine = self.make_engine(n_slots=1, k=3)
+        dec = BeamSearchDecoder(FakeTokenizer(), beam_width=4)
+        s = engine.open(FakeTokenizer(), lookahead_sec=0.2, beam_decoder=dec)
+        chunk = int(SR * self.CHUNK_SEC)
+        s.accept(synth([1] * 32)[:chunk])
+        engine.tick()
+        assert engine._beam_pack_u8
+        _, tail = engine._tick_fused(engine._buf,
+                                     np.zeros((1, chunk), np.int16),
+                                     np.zeros(1, bool))
+        tail = np.asarray(tail)
+        assert tail.dtype == np.uint8 and tail.shape[-1] == 3  # (N, F, K, 3)
+        idx, vals, ids = s.inbox[0]
+        assert ids.dtype == np.int64 and ids.max() < V
+        # vals came through the u8 pack: every entry is an exact f16 value
+        assert np.array_equal(vals, vals.astype(np.float16).astype(np.float32))
+        # top-1 id stream doubles as the greedy/interim path
+        assert np.array_equal(idx, ids[:, 0])
+
     def test_endpoint_emits_beam_final(self):
         """VAD endpoint: the beam final covers exactly the endpointed
         utterance, and a following utterance gets its own final."""

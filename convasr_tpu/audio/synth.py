@@ -21,7 +21,8 @@ import typing
 import numpy as np
 
 # per-phone formant centers (Hz): F1/F2(/F3) picked for pairwise separation
-# in a 16-band mel front-end over 0-4 kHz — vowel-chart-like spacing
+# in a 16-band mel front-end over 0-4 kHz — vowel-chart-like spacing.
+# LEGACY 6-phone table (r4 harness/probes); the full inventory is PHONE_SPECS.
 PHONE_FORMANTS = {
     'а': [(700, 110), (1150, 170)],
     'б': [(330, 80), (2300, 260)],
@@ -30,6 +31,55 @@ PHONE_FORMANTS = {
     'д': [(380, 85), (1400, 190)],
     'е': [(540, 95), (2050, 240)],
 }
+
+# Full phone inventory (VERDICT r4 next #1): 25 phones over the consonant
+# classes the source-filter model expresses —
+#   vowel  : harmonic source shaped by gaussian formants
+#   fric   : noise source (voiceless) or harmonic+noise mix (voiced),
+#            band-shaped in the spectrum
+#   stop   : closure (near-silence; voiced adds a low "voice bar") + a short
+#            shaped-noise burst with fast decay
+#   nasal  : harmonic source, low F1 murmur + an ANTIFORMANT notch
+#   trill  : vowel-like with deep ~26 Hz amplitude modulation (apical trill)
+# Centers stay under the 4 kHz Nyquist of the 8 kHz test corpora; sibilant
+# energy therefore sits at 2-3.4 kHz (telephone-band sibilants).
+PHONE_SPECS = {
+    # vowels
+    'а': dict(kind='vowel', formants=[(700, 110), (1150, 170)]),
+    'о': dict(kind='vowel', formants=[(450, 90), (880, 140)]),
+    'у': dict(kind='vowel', formants=[(300, 70), (650, 110)]),
+    'и': dict(kind='vowel', formants=[(290, 70), (2250, 260)]),
+    'е': dict(kind='vowel', formants=[(540, 95), (2050, 240)]),
+    'ы': dict(kind='vowel', formants=[(340, 80), (1500, 200)]),
+    'э': dict(kind='vowel', formants=[(600, 100), (1750, 220)]),
+    # voiceless fricatives (noise source)
+    'с': dict(kind='fric', formants=[(3350, 450)], voiced=False),
+    'ш': dict(kind='fric', formants=[(2300, 600)], voiced=False),
+    'ф': dict(kind='fric', formants=[(1500, 900)], voiced=False),
+    'х': dict(kind='fric', formants=[(1000, 350), (2700, 450)], voiced=False),
+    # voiced fricatives (harmonic + noise mix)
+    'з': dict(kind='fric', formants=[(3150, 450)], voiced=True),
+    'ж': dict(kind='fric', formants=[(2100, 550)], voiced=True),
+    'в': dict(kind='fric', formants=[(600, 250), (1700, 400)], voiced=True),
+    # stops: (burst center, burst bandwidth)
+    'п': dict(kind='stop', burst=(700, 600), voiced=False),
+    'т': dict(kind='stop', burst=(3100, 700), voiced=False),
+    'к': dict(kind='stop', burst=(1800, 500), voiced=False),
+    'б': dict(kind='stop', burst=(700, 600), voiced=True),
+    'д': dict(kind='stop', burst=(3100, 700), voiced=True),
+    'г': dict(kind='stop', burst=(1800, 500), voiced=True),
+    # nasals: formants + antiformant (center, bandwidth)
+    'м': dict(kind='nasal', formants=[(250, 60), (2150, 260)], anti=(1100, 260)),
+    'н': dict(kind='nasal', formants=[(280, 60), (1750, 230)], anti=(1600, 320)),
+    # liquids
+    'л': dict(kind='vowel', formants=[(380, 80), (1050, 150), (2850, 330)],
+              amp=0.24),
+    'р': dict(kind='trill', formants=[(500, 90), (1350, 180)], trill_hz=26.0),
+    'й': dict(kind='vowel', formants=[(280, 70), (2500, 300)], amp=0.26),
+}
+
+VOWELS = 'аоуиеыэ'
+CONSONANTS = ''.join(c for c in PHONE_SPECS if c not in VOWELS)
 
 
 def speaker_profile(rng: np.random.RandomState) -> dict:

@@ -303,6 +303,11 @@ class AudioTextDataset:
             for j, t in enumerate(sample_y):
                 y[k, j, :t.shape[-1]] = t
                 ylen[k, j] = len(t)
+        # the xlen convention is ESTABLISHED here: (B,) float32 fraction of
+        # the padded T in (0, 1] — downstream checks (shaping.check_xlen,
+        # compute_output_lengths) enforce what this line produces
+        assert xlen.dtype == np.float32 and xlen.ndim == 1 \
+            and (len(batch) == 0 or float(xlen.max(initial=0.0)) <= 1.0), xlen
         return meta, s, x, xlen, y, ylen
 
 

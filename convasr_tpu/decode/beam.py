@@ -16,6 +16,8 @@ import typing
 
 import numpy as np
 
+from ..infra import shaping
+
 NEG_INF = -1e30
 
 
@@ -235,7 +237,8 @@ def rescore_with_lm(hyps: typing.List[typing.Tuple[typing.List[int], float]],
     return rescored
 
 
-def decode_device_with_lm(log_probs, output_lengths, tokenizer,
+@shaping.shapecheck
+def decode_device_with_lm(log_probs: shaping.BTC, output_lengths, tokenizer,
                           lm_path: typing.Optional[str] = None,
                           alpha: float = 0.5, beta: float = 0.0,
                           beam_width: int = 16, cutoff_top_n: int = 8,
@@ -423,7 +426,8 @@ class BeamSearchDecoder:
             self.handle = None
             self.py_lm = load_lm(beam_lm_path) if beam_lm_path else None
 
-    def decode_one(self, log_probs: np.ndarray, length: typing.Optional[int] = None):
+    @shaping.shapecheck
+    def decode_one(self, log_probs: shaping.TC, length: typing.Optional[int] = None):
         """log_probs: (T, C) -> list of (tokens, score) of size topk."""
         lp = np.ascontiguousarray(np.asarray(log_probs, np.float32))
         if length is not None:

@@ -10,13 +10,16 @@ import typing
 import numpy as np
 
 from ..data import transcripts
+from ..infra import shaping
 
 
 class GreedyCTCGenerator:
     def __init__(self, blank_amount_to_space: int = 10):
         self.blank_amount_to_space = blank_amount_to_space
 
-    def generate(self, tokenizer, log_probs, begin, end, output_lengths=None,
+    @shaping.shapecheck
+    def generate(self, tokenizer, log_probs: typing.Optional[shaping.BTC],
+                 begin, end, output_lengths=None,
                  time_stamps=None, segment_text_key: str = 'hyp',
                  segment_extra_info: typing.Optional[typing.List[dict]] = None,
                  most_probable_idx=None):

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..infra import shaping
+
 
 def hz_to_mel(freq, htk: bool = False):
     freq = np.asarray(freq, dtype=np.float64)
@@ -131,9 +133,17 @@ def apply_dither(signal: jnp.ndarray, dither: float, key: typing.Optional[jax.Ar
 
 
 def compute_output_lengths(out_time: int, lengths_fraction: typing.Optional[jnp.ndarray]):
-    """ceil(fraction * T) as int32 (spec: models.py:611-614)."""
+    """ceil(fraction * T) as int32 (spec: models.py:611-614).
+
+    Every xlen in the repo funnels through here, so this is the single
+    choke-point check for the fraction convention (SURVEY §7.3): an integer
+    dtype means absolute lengths were passed and fails loudly at trace time.
+    """
     if lengths_fraction is None:
         return jnp.full((1,), out_time, dtype=jnp.int32)
+    assert np.issubdtype(np.dtype(lengths_fraction.dtype), np.floating), \
+        f'xlen dtype {lengths_fraction.dtype}: xlen is the valid FRACTION ' \
+        f'of the padded time dim (float in (0, 1]), not absolute lengths'
     return jnp.ceil(lengths_fraction.astype(jnp.float32) * out_time).astype(jnp.int32)
 
 
@@ -194,10 +204,11 @@ class LogFilterBankFrontend:
                              fmin=0, fmax=int(self.sample_rate / 2)).T  # (fc, n_mels)
         return jnp.asarray(basis), jnp.asarray(mel)
 
-    def __call__(self, signal: jnp.ndarray, mask: typing.Optional[jnp.ndarray] = None,
+    @shaping.shapecheck
+    def __call__(self, signal: shaping.BT, mask: typing.Optional[shaping.BT] = None,
                  dither_key: typing.Optional[jax.Array] = None) -> jnp.ndarray:
-        """signal: (B, T) float; mask: optional (B, T) valid-sample mask."""
-        assert signal.ndim == 2
+        """signal: (B, T) float; mask: optional (B, T) valid-sample mask.
+        @shapecheck enforces matching (B, T) across signal and mask."""
         basis, mel = self._constants()
         x = signal.astype(jnp.float32)
         if self.normalize_signal_enabled:
@@ -231,7 +242,8 @@ class LogFilterBankFrontend:
         return log_mel
 
 
-def masked_instance_norm(x: jnp.ndarray, mask: typing.Optional[jnp.ndarray] = None,
+@shaping.shapecheck
+def masked_instance_norm(x: shaping.BTC, mask: typing.Optional[shaping.BT] = None,
                          eps: float = float(np.finfo(np.float16).tiny),
                          legacy: bool = True) -> jnp.ndarray:
     """Per-utterance, per-channel normalization over time.

@@ -27,6 +27,7 @@ def _make(axes: str):
 # everything on device here is channels-last (B, T, C).
 B = _make('B')
 BTC = _make('BTC')
+TC = _make('TC')
 BS = _make('BS')
 BT = _make('BT')
 Bt = _make('Bt')
@@ -40,24 +41,72 @@ _T = _make('_T')
 S = _make('S')
 
 
+def axes_of(annotation) -> typing.Optional[str]:
+    """Marker axes string, unwrapping typing.Optional/Union annotations so
+    `mask: typing.Optional[shaping.BT]` is still checked when a value is
+    actually passed."""
+    axes = getattr(annotation, 'axes', None)
+    if axes:
+        return axes
+    for arg in typing.get_args(annotation):
+        axes = getattr(arg, 'axes', None)
+        if axes:
+            return axes
+    return None
+
+
 def ndim_of(marker) -> typing.Optional[int]:
-    axes = getattr(marker, 'axes', None)
+    axes = axes_of(marker)
     return len(axes) if axes else None
 
 
 def shapecheck(fn):
-    """Validate annotated argument ndim at runtime (spec: shaping.py:52-83)."""
+    """Validate annotated arguments at call time (spec: shaping.py:52-83):
+    rank must match the marker, and a shared axis letter (e.g. B) must have
+    the SAME size across every annotated argument — ctc_loss(log_probs (2,T,C),
+    targets (3,Y)) fails here with a named axis instead of a downstream
+    broadcast error. '_' in a marker is a wildcard axis. Cost is trace-time
+    only under jit (shapes are static)."""
     signature = inspect.signature(fn)
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         bound = signature.bind(*args, **kwargs)
+        dims: dict = {}
         for name, value in bound.arguments.items():
             annotation = signature.parameters[name].annotation
-            expected = ndim_of(annotation)
-            if expected is not None and hasattr(value, 'ndim'):
-                assert value.ndim == expected, \
-                    f'{fn.__name__}({name}): expected {annotation.axes} ' \
-                    f'({expected}d), got {value.ndim}d shape {value.shape}'
+            axes = axes_of(annotation)
+            if not axes or not hasattr(value, 'ndim'):
+                continue
+            assert value.ndim == len(axes), \
+                f'{fn.__name__}({name}): expected {axes} ' \
+                f'({len(axes)}d), got {value.ndim}d shape {value.shape}'
+            for letter, size in zip(axes, value.shape):
+                if letter == '_':
+                    continue
+                prev = dims.setdefault(letter, (name, size))
+                assert prev[1] == size, \
+                    f'{fn.__name__}({name}): axis {letter}={size} ' \
+                    f'inconsistent with {prev[0]} ({letter}={prev[1]})'
         return fn(*args, **kwargs)
     return wrapper
+
+
+def check_xlen(xlen, batch: int, name: str = 'xlen'):
+    """Enforce the valid-length-FRACTION convention (SURVEY §7.3 calls it the
+    main WER-parity risk): xlen must be a (B,) FLOATING array — an integer
+    dtype almost certainly means absolute frame/sample lengths were passed
+    where the collate fraction (data/dataset.py collate_fn) is expected.
+    Returns xlen unchanged; trace-time-only cost under jit."""
+    if xlen is None:
+        return None
+    assert hasattr(xlen, 'ndim') and xlen.ndim == 1, \
+        f'{name}: expected (B,) valid-length fractions, got ' \
+        f'{getattr(xlen, "shape", type(xlen))}'
+    assert xlen.shape[0] == batch, \
+        f'{name}: batch {xlen.shape[0]} != input batch {batch}'
+    import numpy as np
+    assert np.issubdtype(np.dtype(xlen.dtype), np.floating), \
+        f'{name}: dtype {xlen.dtype} — xlen is the valid FRACTION of the ' \
+        f'padded time dim (float in (0, 1]), not absolute lengths'
+    return xlen

@@ -27,6 +27,7 @@ import numpy as np
 from ..frontend.logmel import (
     LogFilterBankFrontend, compute_output_lengths, masked_instance_norm, temporal_mask,
 )
+from ..infra.shaping import check_xlen
 
 
 def apply_nonlinearity(x, nonlinearity: typing.Tuple):
@@ -250,6 +251,8 @@ class JasperNet(nn.Module):
     def __call__(self, x, xlen=None, training: bool = False,
                  dither_key: typing.Optional[jax.Array] = None):
         num_epilogue = 2
+        # xlen seam (SURVEY §7.3): (B,) float fraction, fails loudly otherwise
+        check_xlen(xlen, x.shape[0])
         if self.frontend is not None:
             assert x.ndim == 2, 'frontend expects raw signal (B, T)'
             mask = None

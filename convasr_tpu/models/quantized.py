@@ -481,6 +481,8 @@ def load_qtree(path):
 def quantized_apply(model, qtree, x, xlen=None, epilogue_dtype=jnp.float32):
     """int8 inference forward. `qtree` from quantize(); jit over (x, xlen)
     with qtree as an ARGUMENT (never closed over — CLAUDE.md HTTP 413)."""
+    from ..infra.shaping import check_xlen
+    check_xlen(xlen, x.shape[0])
     variables = {'params': {'frontend': qtree['frontend_params']}} \
         if 'frontend_params' in qtree else None
     return _forward(model, qtree['layers'], x, xlen,

@@ -28,6 +28,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..infra import shaping
+
 NEG_INF = -1e30
 HASH_MULT = jnp.uint32(1000003)
 
@@ -194,7 +196,8 @@ def _step(state, lp_t, active, blank_id, K, N, L, lm=None):
 @functools.partial(jax.jit, static_argnames=('beam_width', 'cutoff_top_n',
                                              'max_len', 'blank_id', 'unroll',
                                              'compact_tokens'))
-def beam_search_device(log_probs, input_lengths, blank_id: int,
+@shaping.shapecheck
+def beam_search_device(log_probs: shaping.BTC, input_lengths: shaping.B, blank_id: int,
                        beam_width: int = 16, cutoff_top_n: int = 8,
                        max_len: int = 256, lm_table=None,
                        lm_alpha=0.3, lm_beta=0.0, unroll: int = 1,

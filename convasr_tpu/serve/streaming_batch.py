@@ -314,6 +314,9 @@ class BatchedStreamingEngine:
         self._tick_fused = lambda buf, ch, adv: _tick(get_weights(), buf, ch, adv)
 
     def _encode_chunk(self, chunk_i16: np.ndarray) -> np.ndarray:
+        # wire seam: (N, C) int16 — the device tick decodes exactly this
+        assert chunk_i16.dtype == np.int16 and chunk_i16.ndim == 2, \
+            (chunk_i16.dtype, chunk_i16.shape)
         if self.transport == 'mulaw':
             # 64K-entry LUT indexed by the int16 bit pattern: bit-exact to
             # the companding formula but a single uint8 gather (~mem speed).

@@ -191,17 +191,34 @@ class TestBatchedEngineBeamEqualsOffline:
         s.accept(synth([1] * 32)[:chunk])
         engine.tick()
         assert engine._beam_pack_u8
-        _, tail = engine._tick_fused(engine._buf,
-                                     np.zeros((1, chunk), np.int16),
-                                     np.zeros(1, bool))
+        # _tick donates the ring buffer (donate_argnums) — capture BOTH
+        # outputs so engine._buf stays live (ADVICE r4)
+        buf_before = np.asarray(engine._buf)
+        engine._buf, tail = engine._tick_fused(engine._buf,
+                                               np.zeros((1, chunk), np.int16),
+                                               np.zeros(1, bool))
         tail = np.asarray(tail)
         assert tail.dtype == np.uint8 and tail.shape[-1] == 3  # (N, F, K, 3)
-        idx, vals, ids = s.inbox[0]
-        assert ids.dtype == np.int64 and ids.max() < V
-        # vals came through the u8 pack: every entry is an exact f16 value
-        assert np.array_equal(vals, vals.astype(np.float16).astype(np.float32))
+        # unpack [f16 val bytes, u8 id] and check against top-k of the SAME
+        # log-probs (ADVICE r4: the f16 round-trip assertion was tautological
+        # for byte-order/offset bugs) — advance=False left the buffer as-is,
+        # so the host frame_logprobs of buf_before IS the tick's lp matrix
+        vals = tail[..., :2].copy().view(np.float16)[..., 0].astype(np.float32)
+        ids = tail[..., 2].astype(np.int64)
+        lp = frame_logprobs(buf_before[0])
+        F = tail.shape[1]
+        exp_ids = np.argsort(-lp, axis=-1, kind='stable')[:, :3][-F:]
+        exp_vals = np.take_along_axis(lp[-F:], exp_ids, axis=1)
+        assert np.array_equal(ids[0], exp_ids)
+        # f16-rounded host recompute; atol covers XLA-vs-numpy log ulps
+        # (a byte-order/offset bug produces garbage far outside this)
+        assert np.allclose(
+            vals[0], exp_vals.astype(np.float16).astype(np.float32),
+            atol=1e-2)
+        idx, vals_in, ids_in = s.inbox[0]
+        assert ids_in.dtype == np.int64 and ids_in.max() < V
         # top-1 id stream doubles as the greedy/interim path
-        assert np.array_equal(idx, ids[:, 0])
+        assert np.array_equal(idx, ids_in[:, 0])
 
     def test_endpoint_emits_beam_final(self):
         """VAD endpoint: the beam final covers exactly the endpointed

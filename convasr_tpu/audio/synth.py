@@ -94,25 +94,121 @@ def speaker_profile(rng: np.random.RandomState) -> dict:
 
 def formant_phone(rng: np.random.RandomState, formants, dur: float, sr: int,
                   speaker: typing.Optional[dict] = None, amp: float = 0.35,
-                  jitter: float = 0.03, am_hz: float = 4.0) -> np.ndarray:
+                  jitter: float = 0.03, am_hz: float = 4.0,
+                  anti: typing.Optional[tuple] = None) -> np.ndarray:
     """One phone: harmonic series at the speaker's f0 with 1/h source
-    rolloff, shaped by gaussian formant bumps (per-utterance jittered)."""
+    rolloff, shaped by gaussian formant bumps (per-utterance jittered).
+    `anti` = (center, bandwidth) multiplies an ANTIFORMANT notch into the
+    envelope (nasal zero)."""
     spk = speaker or dict(f0=140.0, formant_shift=1.0, bw_scale=1.0)
     n = int(dur * sr)
     t = np.arange(n) / sr
     f0 = spk['f0'] * (1.0 + rng.uniform(-jitter, jitter))
     sig = np.zeros(n, np.float64)
+    fa_j = bwa = None
+    if anti is not None:
+        fa, bwa = anti
+        fa_j = fa * spk['formant_shift'] * (1.0 + rng.uniform(-jitter, jitter))
     for h in range(1, int((sr / 2 - 100) / f0) + 1):
         f = f0 * h
         envelope = 0.03  # spectral floor between formants
         for fc, bw in formants:
             fc_j = fc * spk['formant_shift'] * (1.0 + rng.uniform(-jitter, jitter))
             envelope += np.exp(-0.5 * ((f - fc_j) / (bw * spk['bw_scale'])) ** 2)
+        if fa_j is not None:
+            envelope *= 1.0 - 0.85 * np.exp(
+                -0.5 * ((f - fa_j) / (bwa * spk['bw_scale'])) ** 2)
         sig += (envelope / h ** 0.5) * np.sin(
             2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
-    sig *= 1.0 + 0.25 * np.sin(2 * np.pi * am_hz * t + rng.uniform(0, 2 * np.pi))
+    if am_hz:
+        sig *= 1.0 + 0.25 * np.sin(2 * np.pi * am_hz * t + rng.uniform(0, 2 * np.pi))
     peak = np.max(np.abs(sig)) or 1.0
     return (amp * sig / peak).astype(np.float32)
+
+
+def _gauss_envelope(freqs: np.ndarray, formants, spk: dict,
+                    rng: np.random.RandomState, jitter: float,
+                    floor: float = 0.03) -> np.ndarray:
+    """Sum-of-gaussians spectral envelope at `freqs`, with the per-speaker
+    shift/bandwidth scale and per-utterance jitter of formant_phone."""
+    env = np.full_like(freqs, floor, dtype=np.float64)
+    for fc, bw in formants:
+        fc_j = fc * spk['formant_shift'] * (1.0 + rng.uniform(-jitter, jitter))
+        env += np.exp(-0.5 * ((freqs - fc_j) / (bw * spk['bw_scale'])) ** 2)
+    return env
+
+
+def _shaped_noise(rng: np.random.RandomState, n: int, sr: int, formants,
+                  spk: dict, jitter: float) -> np.ndarray:
+    """White noise spectrally shaped by the gaussian envelope (frication)."""
+    spec = np.fft.rfft(rng.randn(n))
+    freqs = np.fft.rfftfreq(n, 1.0 / sr)
+    sig = np.fft.irfft(spec * _gauss_envelope(freqs, formants, spk, rng,
+                                              jitter, floor=0.01), n)
+    peak = np.max(np.abs(sig)) or 1.0
+    return sig / peak
+
+
+def render_phone(rng: np.random.RandomState, spec: dict, sr: int,
+                 speaker: typing.Optional[dict] = None,
+                 jitter: float = 0.03) -> np.ndarray:
+    """One phone from a PHONE_SPECS entry — dispatches on spec['kind'].
+
+    Durations are per-class (stops are intrinsically short, frication longer)
+    with per-utterance jitter, so the corpus has natural length variation.
+    """
+    spk = speaker or dict(f0=140.0, formant_shift=1.0, bw_scale=1.0)
+    kind = spec['kind']
+    amp = spec.get('amp', 0.35)
+    dj = 1.0 + rng.uniform(-0.12, 0.12)
+
+    if kind == 'vowel':
+        return formant_phone(rng, spec['formants'], 0.10 * dj, sr,
+                             speaker=spk, amp=amp, jitter=jitter)
+
+    if kind == 'trill':
+        sig = formant_phone(rng, spec['formants'], 0.10 * dj, sr,
+                            speaker=spk, amp=amp, jitter=jitter, am_hz=0.0)
+        t = np.arange(len(sig)) / sr
+        hz = spec.get('trill_hz', 26.0) * (1.0 + rng.uniform(-0.1, 0.1))
+        mod = 0.45 + 0.55 * 0.5 * (1.0 + np.cos(2 * np.pi * hz * t))
+        return (sig * mod).astype(np.float32)
+
+    if kind == 'nasal':
+        sig = formant_phone(rng, spec['formants'], 0.09 * dj, sr, speaker=spk,
+                            amp=amp * 0.8, jitter=jitter,
+                            anti=spec.get('anti'))
+        return sig
+
+    if kind == 'fric':
+        n = int(0.09 * dj * sr)
+        noise = _shaped_noise(rng, n, sr, spec['formants'], spk, jitter)
+        if spec.get('voiced'):
+            # voiced frication: low-frequency voicing + the noise band
+            voic = formant_phone(rng, [(min(300, sr // 8), 80)], n / sr, sr,
+                                 speaker=spk, amp=1.0, jitter=jitter)
+            voic = voic[:n] if len(voic) >= n else np.pad(voic, (0, n - len(voic)))
+            sig = 0.55 * voic + 0.6 * noise
+        else:
+            sig = noise
+        peak = np.max(np.abs(sig)) or 1.0
+        return (amp * 0.8 * sig / peak).astype(np.float32)
+
+    assert kind == 'stop', kind
+    n_clo = int(0.045 * dj * sr)
+    n_burst = int(0.03 * dj * sr)
+    if spec.get('voiced'):
+        # voice bar: f0 murmur bleeding through the closure
+        closure = formant_phone(rng, [(min(250, sr // 8), 60)], n_clo / sr, sr,
+                                speaker=spk, amp=amp * 0.18, jitter=jitter)
+        closure = closure[:n_clo]
+    else:
+        closure = np.zeros(n_clo, np.float32)
+    burst = _shaped_noise(rng, n_burst, sr, [spec['burst']], spk, jitter)
+    burst = burst * np.exp(-np.arange(n_burst) / (0.008 * sr))  # fast decay
+    peak = np.max(np.abs(burst)) or 1.0
+    burst = amp * 0.9 * burst / peak
+    return np.concatenate([closure, burst]).astype(np.float32)
 
 
 def add_reverb(sig: np.ndarray, sr: int, rt60: float,
@@ -140,7 +236,11 @@ def synth_word(rng: np.random.RandomState, word: str, sr: int,
     boundaries — GreedyCTCGenerator inserts a space after >=10 blank frames),
     with gap_sec of noise-floor silence at both word edges."""
     table = formant_table or PHONE_FORMANTS
-    phones = [formant_phone(rng, table[ch], char_sec, sr, speaker=speaker)
+    # legacy entries are [(fc, bw), ...] lists (fixed char_sec vowel-likes);
+    # PHONE_SPECS entries are dicts dispatched by class in render_phone
+    phones = [render_phone(rng, table[ch], sr, speaker=speaker)
+              if isinstance(table[ch], dict)
+              else formant_phone(rng, table[ch], char_sec, sr, speaker=speaker)
               for ch in word]
     nx = int(sr * xfade_sec)
     sig = phones[0].astype(np.float64)

@@ -819,7 +819,8 @@ def _main(args):
         n_dev = len(jax.devices())
         n_data = max(d for d in range(1, n_dev + 1) if args.train_batch_size % d == 0)
         mesh = make_mesh(n_data=n_data) if n_data > 1 else None
-    train_step = make_train_step(model, optimizer, bpe_only=args.bpe_only)
+    train_step = make_train_step(model, optimizer, bpe_only=args.bpe_only,
+                                 blank_penalty=args.ctc_blank_penalty)
     # multi-step dispatch: scan K train steps inside ONE jit call — the
     # per-dispatch overhead (26-30 ms through the axon tunnel) is paid once
     # per K steps instead of per step
@@ -867,7 +868,8 @@ def _main(args):
             except MemoryError as e:
                 _print(f'--device-cache disabled: {e}')
             if dcache is not None:
-                base_step = make_train_step(model, optimizer, bpe_only=args.bpe_only)
+                base_step = make_train_step(model, optimizer, bpe_only=args.bpe_only,
+                                            blank_penalty=args.ctc_blank_penalty)
                 layout = getattr(args, 'device_cache_layout', 'auto')
                 use_sharded = mesh is not None and (
                     layout == 'sharded' or (layout == 'auto' and world > 1))
@@ -1351,6 +1353,13 @@ def build_parser():
     # reference train.py:1033 defaults dropout to 0.2 — match it so the same
     # command line trains with the same regularization (ADVICE r1)
     parser.add_argument('--dropout', type=float, default=0.2)
+    parser.add_argument('--ctc-blank-penalty', type=float, default=0.0,
+                        help='train-time peaky-CTC remedy: add this weight '
+                             'times the mean valid-frame blank probability '
+                             'to the loss, so characters are held through '
+                             'their acoustic span and intra-word blank runs '
+                             'stay below the generator word-boundary '
+                             'threshold (train/loop.py make_train_step)')
     parser.add_argument('--spec-augment', action='store_true',
                         help='SpecAugment time/freq feature masks in training')
     parser.add_argument('--spec-augment-time-masks', type=int, default=2)

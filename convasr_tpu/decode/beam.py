@@ -242,20 +242,29 @@ def decode_device_with_lm(log_probs: shaping.BTC, output_lengths, tokenizer,
                           lm_path: typing.Optional[str] = None,
                           alpha: float = 0.5, beta: float = 0.0,
                           beam_width: int = 16, cutoff_top_n: int = 8,
-                          max_len: typing.Optional[int] = None):
+                          max_len: typing.Optional[int] = None,
+                          mesh=None):
     """On-device beam search + host LM rescoring; returns per-utterance token
     lists (best hypothesis). max_len caps the on-device hypothesis buffer
     (default T+1 = exact; speech emits ~T/10 tokens, so a smaller cap cuts
-    both the (K, L) prefix-rebuild HBM traffic in the scan and the fetch)."""
+    both the (K, L) prefix-rebuild HBM traffic in the scan and the fetch).
+    mesh: shard the batch over the mesh 'data' axis (pod-scale decoding,
+    ops/beam_device.beam_search_device_sharded) — results are identical."""
     import jax.numpy as jnp
-    from ..ops.beam_device import beam_search_device
+    from ..ops.beam_device import beam_search_device, beam_search_device_sharded
     log_probs = np.asarray(log_probs)
     lengths = np.asarray(output_lengths if output_lengths is not None
                          else [log_probs.shape[1]] * len(log_probs))
-    tokens, lens, scores = beam_search_device(
-        jnp.asarray(log_probs), jnp.asarray(lengths, np.int32), tokenizer.eps_id,
-        beam_width=beam_width, cutoff_top_n=cutoff_top_n,
-        max_len=max_len or int(log_probs.shape[1]) + 1, compact_tokens=True)
+    beam_kw = dict(beam_width=beam_width, cutoff_top_n=cutoff_top_n,
+                   max_len=max_len or int(log_probs.shape[1]) + 1,
+                   compact_tokens=True)
+    if mesh is not None:
+        tokens, lens, scores = beam_search_device_sharded(
+            log_probs, lengths, tokenizer.eps_id, mesh, **beam_kw)
+    else:
+        tokens, lens, scores = beam_search_device(
+            jnp.asarray(log_probs), jnp.asarray(lengths, np.int32),
+            tokenizer.eps_id, **beam_kw)
     tokens, lens, scores = map(np.asarray, (tokens, lens, scores))
     lm = load_lm(lm_path) if lm_path else None
     labels = [str(l).lower() for l in tokenizer.vocab]

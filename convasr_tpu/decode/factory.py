@@ -10,18 +10,19 @@ actually select the decoder used to produce hypotheses.
 import numpy as np
 
 
-def build_decoder(args, tokenizer, vocab=None):
+def build_decoder(args, tokenizer, vocab=None, mesh=None):
     """Returns None for GreedyDecoder (callers use the greedy CTC generator),
     else a decoder object with .decode(log_probs, output_lengths=...) ->
     per-utterance token-id lists (top-1) or lists of top-k lists when
-    args.decoder_topk > 1 (host beam only)."""
+    args.decoder_topk > 1 (host beam only). mesh: shard the DEVICE beams'
+    batch dim over the mesh 'data' axis (transcribe --data-parallel)."""
     choice = getattr(args, 'decoder', 'GreedyDecoder')
     if choice in (None, '', 'GreedyDecoder'):
         return None
     if choice == 'BeamSearchDecoderDevice':
         # on-device vectorized beam; optional --lm = CHAR-bigram ARPA fused
         # on device (decode/beam.char_lm_table)
-        from ..ops.beam_device import beam_search_device
+        from ..ops.beam_device import beam_search_device, beam_search_device_sharded
         device_lm_table = None
         if getattr(args, 'lm', None):
             from .beam import char_lm_table, load_lm
@@ -35,13 +36,21 @@ def build_decoder(args, tokenizer, vocab=None):
                 import jax.numpy as jnp
                 lengths = output_lengths if output_lengths is not None \
                     else [log_probs.shape[1]] * len(log_probs)
-                tokens, lens, _ = beam_search_device(
-                    jnp.asarray(log_probs), jnp.asarray(lengths, jnp.int32),
-                    tokenizer.eps_id, beam_width=args.beam_width,
-                    cutoff_top_n=args.beam_cutoff_top_n,
-                    max_len=int(log_probs.shape[1]) + 1,
-                    lm_table=device_lm_table,
-                    lm_alpha=args.beam_alpha, lm_beta=args.beam_beta)
+                beam_kw = dict(beam_width=args.beam_width,
+                               cutoff_top_n=args.beam_cutoff_top_n,
+                               max_len=int(log_probs.shape[1]) + 1,
+                               lm_table=device_lm_table,
+                               lm_alpha=args.beam_alpha,
+                               lm_beta=args.beam_beta)
+                if mesh is not None:
+                    tokens, lens, _ = beam_search_device_sharded(
+                        log_probs, jnp.asarray(lengths, jnp.int32),
+                        tokenizer.eps_id, mesh, **beam_kw)
+                else:
+                    tokens, lens, _ = beam_search_device(
+                        jnp.asarray(log_probs),
+                        jnp.asarray(lengths, jnp.int32),
+                        tokenizer.eps_id, **beam_kw)
                 tokens, lens = np.asarray(tokens), np.asarray(lens)
                 return [tokens[b, 0, :lens[b, 0]].tolist()
                         for b in range(len(tokens))]
@@ -66,7 +75,8 @@ def build_decoder(args, tokenizer, vocab=None):
                     alpha=args.beam_alpha, beta=args.beam_beta,
                     beam_width=args.beam_width,
                     cutoff_top_n=args.beam_cutoff_top_n,
-                    max_len=getattr(args, 'beam_max_len', None) or None)
+                    max_len=getattr(args, 'beam_max_len', None) or None,
+                    mesh=mesh)
 
         return _HybridBeam()
     if choice == 'BeamSearchDecoder':

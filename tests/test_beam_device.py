@@ -229,3 +229,45 @@ class TestOutputOptions:
         lens = np.asarray(lens)
         assert lens.max() <= 5
         assert np.isfinite(np.asarray(scores)[:, 0]).all()
+
+
+class TestShardedBeam:
+    """VERDICT r4 #5: the flagship decode under SPMD — the device beam's
+    batch dim sharded over the mesh 'data' axis must produce IDENTICAL
+    hypotheses/lengths/scores to the single-device call (per-row vmap,
+    zero collectives), including non-divisible batches (pad rows length 0)."""
+
+    @pytest.mark.parametrize('B', [8, 11])
+    def test_sharded_beam_equals_single_device(self, B):
+        from convasr_tpu.ops.beam_device import beam_search_device_sharded
+        from convasr_tpu.parallel.mesh import make_mesh
+        rng = np.random.RandomState(9)
+        T, C = 40, 7
+        lp = np.log(rng.dirichlet(np.ones(C) * 0.4,
+                                  size=(B, T)).astype(np.float32))
+        lens = rng.randint(10, T + 1, size=B).astype(np.int32)
+        kw = dict(beam_width=8, cutoff_top_n=5, max_len=T + 1,
+                  compact_tokens=True)
+        base = beam_search_device(jnp.asarray(lp), jnp.asarray(lens), C - 1, **kw)
+        mesh = make_mesh(n_model=1)
+        assert mesh.shape['data'] == len(jax.devices())
+        shard = beam_search_device_sharded(lp, lens, C - 1, mesh, **kw)
+        for b_arr, s_arr in zip(base, shard):
+            np.testing.assert_array_equal(np.asarray(b_arr), np.asarray(s_arr))
+
+    def test_hybrid_decoder_sharded_equals_single(self, tmp_path):
+        """decode_device_with_lm(mesh=...) — the full hybrid (sharded device
+        beam + host word-LM rescore) returns the same token lists."""
+        from convasr_tpu.decode.beam import decode_device_with_lm
+        from convasr_tpu.parallel.mesh import make_mesh
+        from convasr_tpu.text import CharTokenizer
+        tok = CharTokenizer('аб')
+        rng = np.random.RandomState(10)
+        B, T = 5, 30
+        lp = np.log(rng.dirichlet(np.ones(tok.vocab_size) * 0.4,
+                                  size=(B, T)).astype(np.float32))
+        lens = np.full(B, T, np.int32)
+        single = decode_device_with_lm(lp, lens, tok, beam_width=8)
+        sharded = decode_device_with_lm(lp, lens, tok, beam_width=8,
+                                        mesh=make_mesh(n_model=1))
+        assert single == sharded

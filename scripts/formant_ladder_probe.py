@@ -58,6 +58,8 @@ def main():
     ap.add_argument('--alpha', type=float, default=None,
                     help='fix rescore alpha (else small grid)')
     ap.add_argument('--beta', type=float, default=None)
+    ap.add_argument('--blank-penalty', type=float, default=0.0,
+                    help='train-time peaky-CTC remedy (--ctc-blank-penalty)')
     args = ap.parse_args()
 
     if args.device == 'cpu':
@@ -110,6 +112,7 @@ def main():
             '--optimizer', 'NovoGrad', '--lr', str(args.lr),
             '--dropout', str(args.dropout),
             '--num-workers', '0', '--batch-time-padding-multiple', '128',
+            '--ctc-blank-penalty', str(args.blank_penalty),
             '--text-config', str(ROOT / 'configs' / 'ru_text_config.json'),
             '--val-config', str(ROOT / 'configs' / 'ru_val_config.json')]
         if args.device != 'cpu':
@@ -135,18 +138,33 @@ def main():
     import jax.numpy as jnp
     from convasr_tpu.audio import io as audio_io
     entries = paths[f'{args.split}_entries']
-    lps, olens, refs = [], [], []
-    t0 = time.time()
+    # ONE padded shape + batched forward: per-utt B=1 shapes would each pay a
+    # fresh compile through the axon tunnel (30 s+ per shape)
+    sigs = []
     for e in entries:
         sig, _ = audio_io.read_audio(e['audio_path'], sample_rate=SR, mono=True)
-        T = int(np.ceil(sig.shape[-1] / 128) * 128)
-        x = np.zeros((1, T), np.float32)
-        x[0, :sig.shape[-1]] = sig[0]
-        lp, logits, olen = forward(jnp.asarray(x),
-                                   jnp.asarray([sig.shape[-1] / T], np.float32))
-        lps.append(np.asarray(lp)[0])
-        olens.append(int(np.asarray(olen)[0]))
-        refs.append(e['ref'])
+        sigs.append(sig[0])
+    refs = [e['ref'] for e in entries]
+    Tpad = int(np.ceil(max(len(s) for s in sigs) / 128) * 128)
+    lps, olens = [], []
+    t0 = time.time()
+    EB = 8
+    for i in range(0, len(sigs), EB):
+        chunk = sigs[i:i + EB]
+        x = np.zeros((len(chunk), Tpad), np.float32)
+        frac = np.zeros(len(chunk), np.float32)
+        for j, s in enumerate(chunk):
+            x[j, :len(s)] = s
+            frac[j] = len(s) / Tpad
+        # pad the last chunk's batch dim so every dispatch is the same shape
+        if len(chunk) < EB:
+            x = np.concatenate([x, np.zeros((EB - len(chunk), Tpad), np.float32)])
+            frac = np.concatenate([frac, np.full(EB - len(chunk), 1e-6, np.float32)])
+        lp, logits, olen = forward(jnp.asarray(x), jnp.asarray(frac))
+        lp, olen = np.asarray(lp), np.asarray(olen)
+        for j in range(len(chunk)):
+            lps.append(lp[j])
+            olens.append(int(olen[j]))
     print(f'forward over {len(entries)} {args.split} utts: '
           f'{time.time()-t0:.0f}s', flush=True)
 

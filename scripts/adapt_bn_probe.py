@@ -53,16 +53,18 @@ probe = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(probe)
 
 
-def build_val(tmp, noise, n=60, seed=7, reverb_rt60=0.0):
+def build_val(tmp, noise, n=60, seed=7, reverb_rt60=0.0, edge_pad=0.3):
     # same grammar/phones as training, shifted noise floor (+ optional room
     # reverb in formant mode); fresh seed so no utterance is shared with the
-    # training corpus
+    # training corpus. edge_pad MUST match training (see main: read from the
+    # training corpus_meta.json) — a mismatch makes the BN re-estimation see
+    # out-of-domain edge context and masquerades as domain shift.
     from convasr_tpu.audio import write_audio
     rng = np.random.RandomState(seed)
     entries = []
     for i in range(n):
         words = probe.sample_sentence(rng)
-        wave = probe.synth_sentence(rng, words, noise, edge_pad=0.3)
+        wave = probe.synth_sentence(rng, words, noise, edge_pad=edge_pad)
         if reverb_rt60:
             from convasr_tpu.audio.synth import add_reverb
             wave = add_reverb(wave, probe.SR, reverb_rt60, rng)
@@ -139,7 +141,27 @@ def main():
     import jax
     if args.device == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
-    val_json = build_val(tmp, args.val_noise, reverb_rt60=args.val_reverb)
+    # derive the val builder's edge context from the TRAINING corpus recipe
+    # (lm_wer_probe writes corpus_meta.json next to train.json); refusing to
+    # guess closes the silent --edge-pad mismatch foot-gun (VERDICT r4 #7)
+    ck = pathlib.Path(args.checkpoint)
+    meta_path = ck.parents[2] / 'corpus_meta.json'
+    if meta_path.exists():
+        meta = json.load(open(meta_path))
+        edge_pad = meta['edge_pad']
+        assert meta['synth'] == args.synth, \
+            (f'--synth {args.synth} but the checkpoint trained on '
+             f'{meta["synth"]} (from {meta_path})')
+        print(f'training recipe ({meta_path}): edge_pad={edge_pad} '
+              f'noise={meta["noise"]} synth={meta["synth"]}')
+    else:
+        edge_pad = 0.3
+        print(f'WARNING: no corpus_meta.json at {meta_path} — assuming the '
+              f'documented edge_pad=0.3; if the checkpoint trained without '
+              f'--edge-pad 0.3 the adapt-bn comparison is INVALID '
+              f'(edge-context mismatch masquerades as domain shift)')
+    val_json = build_val(tmp, args.val_noise, reverb_rt60=args.val_reverb,
+                         edge_pad=edge_pad)
     wer_off = run_eval(args, val_json, adapt=False, tag='off')
     wer_on = run_eval(args, val_json, adapt=True, tag='on')
     print(f'shifted-noise val (noise={args.val_noise}): '

@@ -121,6 +121,12 @@ def build_corpus(tmp, noise, n_train=100, n_val=40, seed=0, edge_pad=0.0):
     train_json, val_json = str(tmp / 'train.json'), str(tmp / 'val.json')
     json.dump(entries['train'], open(train_json, 'w'), ensure_ascii=False)
     json.dump(entries['val'], open(val_json, 'w'), ensure_ascii=False)
+    # corpus recipe sidecar: downstream probes (adapt_bn_probe) MUST build
+    # their shifted val sets with the SAME edge context the model trained
+    # on, or the edge mismatch masquerades as domain shift (VERDICT r4 #7)
+    json.dump(dict(synth=SYNTH_MODE, noise=noise, edge_pad=edge_pad,
+                   seed=seed, speakers=len(_SPEAKERS)),
+              open(tmp / 'corpus_meta.json', 'w'))
     return train_json, val_json, entries
 
 

@@ -160,9 +160,52 @@ def build_corpus(out_dir, n_speakers: int = 20, utts_per_speaker: int = 30,
 
     # word-LM / BPE training text: TRAIN transcripts only (no test leakage)
     lm_text = out_dir / 'lm.txt'
-    with open(lm_text, 'w') as f:
-        for e in splits['train_entries']:
-            f.write(e['ref'] + '\n')
+    _write_lm_text(lm_text, splits['train_entries'])
     splits['lm_text'] = str(lm_text)
     splits['words'] = words
     return splits
+
+
+def _write_lm_text(lm_text, entries):
+    with open(lm_text, 'w') as f:
+        for e in entries:
+            f.write(e['ref'] + '\n')
+
+
+def build_eval_split(out_dir, tag: str, noise_levels, rt60_levels,
+                     n_speakers: int = 20, utts_per_speaker: int = 12,
+                     n_words: int = 120, min_words: int = 3,
+                     max_words: int = 8, seed: int = 0) -> str:
+    """Render an EXTRA eval split against an existing corpus: identical
+    lexicon/grammar/speaker pool (same seeds as build_corpus), TEST speakers,
+    but caller-chosen noise/reverb. Purpose: stress conditions for the WER
+    ladder — the matched test split saturates near 0 once training converges
+    (scripts/formant_ladder_probe.py r5), so decoder deltas (beam/LM/hybrid
+    rungs) are measured where the acoustics actually produce errors.
+    Returns the split json path; entries land in out_dir as {tag}_*.wav."""
+    out_dir = pathlib.Path(out_dir)
+    words = make_lexicon(n_words=n_words, seed=seed + 11)
+    grammar = make_bigram_grammar(words, seed=seed + 12)
+    profiles, _, _, test_spk = speaker_sets(n_speakers=n_speakers,
+                                            seed=seed + 13)
+    # seed * 1000 + 500 + spk: disjoint from every _render_split RNG stream
+    entries = []
+    for spk_i in test_spk:
+        rng = np.random.RandomState(seed * 1000 + 500 + spk_i)
+        for u in range(utts_per_speaker):
+            sent = sample_sentence(rng, words, grammar, min_words, max_words)
+            noise = noise_levels[int(rng.randint(len(noise_levels)))]
+            rt60 = rt60_levels[int(rng.randint(len(rt60_levels)))]
+            wave = synth_sentence(rng, sent, SR, speaker=profiles[spk_i],
+                                  noise=noise, reverb_rt60=rt60,
+                                  formant_table=PHONE_SPECS)
+            path = out_dir / f'{tag}_spk{spk_i:02d}_{u:03d}.wav'
+            from . import write_audio
+            write_audio(str(path), wave[None, :], SR)
+            entries.append(dict(audio_path=str(path), ref=' '.join(sent),
+                                begin=0.0, end=len(wave) / SR,
+                                speaker_name=f'spk{spk_i:02d}'))
+    path = out_dir / f'{tag}.json'
+    with open(path, 'w') as f:
+        json.dump(entries, f, ensure_ascii=False)
+    return str(path)

@@ -343,7 +343,9 @@ def benchmark_streaming(args, model, variables, apply_fn=None):
 
         beam_dec = BeamSearchDecoder(
             _Vocab(), beam_width=args.streaming_beam_width,
-            cutoff_top_n=min(args.streaming_beam_topk, 8))
+            cutoff_top_n=min(args.streaming_beam_topk, 8),
+            lm_path=args.streaming_lm,
+            beam_alpha=0.5 if args.streaming_lm else 0.0)
 
         import functools
 
@@ -383,7 +385,8 @@ def benchmark_streaming(args, model, variables, apply_fn=None):
                 logprobs_provider=provider,
                 transport=args.streaming_transport,
                 max_lookahead_sec=max(2.0, args.lookahead_sec),
-                beam_topk=args.streaming_beam_topk)
+                beam_topk=args.streaming_beam_topk,
+                beam_interim_width=args.streaming_beam_interim)
             kw = {} if beam_dec is None else dict(
                 beam_decoder=beam_dec,
                 beam_force_final_sec=args.streaming_beam_force_final_sec)
@@ -540,6 +543,15 @@ def build_parser():
                              'the host C++ beam (0 = greedy finals); '
                              'measures the beam capacity delta')
     parser.add_argument('--streaming-beam-width', type=int, default=16)
+    parser.add_argument('--streaming-beam-interim', type=int, default=0,
+                        help='carried device-beam interim width K (batched '
+                             'fused tick only; 0 = greedy interims) — '
+                             'measures the capacity cost of beam-quality '
+                             'interim hypotheses')
+    parser.add_argument('--streaming-lm', default=None,
+                        help='ARPA/CNLM for the beam-final decode (the '
+                             'production config: word-LM evidence lands in '
+                             'the measured final cost)')
     parser.add_argument('--streaming-beam-force-final-sec', type=float,
                         default=5.0,
                         help='force a beam final this often per stream so '

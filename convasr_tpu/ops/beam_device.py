@@ -249,6 +249,62 @@ def beam_search_device(log_probs: shaping.BTC, input_lengths: shaping.B, blank_i
     return tokens, lengths, scores
 
 
+def beam_carry_init(B: int, K: int, L: int):
+    """Per-slot carried beam state for STREAMING decode (VERDICT r4 #9):
+    the same state tuple beam_search_device scans over, batched (B, K, ...)
+    so it can persist in a streaming engine's device state across ticks.
+    Row 0 is the live empty prefix; dead rows get distinct sentinel hashes
+    (identical init to beam_search_device's `one`)."""
+    row_hash = (jnp.uint32(0x7FFFFFF0) + jnp.arange(K, dtype=jnp.uint32)
+                ).at[0].set(jnp.uint32(1))
+    return (jnp.zeros((B, K, L), jnp.int32),              # prefixes
+            jnp.zeros((B, K), jnp.int32),                 # lengths
+            jnp.tile(row_hash[None], (B, 1)),             # hashes
+            jnp.full((B, K), -1, jnp.int32),              # last char
+            jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0),  # p_b
+            jnp.full((B, K), NEG_INF, jnp.float32))       # p_nb
+
+
+def beam_carry_steps(state, lp_seg, active, blank_id: int,
+                     cutoff_top_n: int, lm=None):
+    """Advance carried beam state by S frames per slot (traceable, meant to
+    inline into a streaming engine's fused tick).
+
+    state: beam_carry_init pytree ((B, K, ...) leaves); lp_seg: (B, S, C)
+    log-softmax of the newly MATURED frames (each audio frame consumed
+    exactly once across ticks); active: (B,) bool — frozen slots pass
+    through unchanged. Feeding the full utterance through this in chunks
+    yields the identical hypothesis set to one beam_search_device call
+    (tests/test_streaming_beam_interim.py)."""
+    K, L = state[0].shape[1], state[0].shape[2]
+    N = min(cutoff_top_n, lp_seg.shape[-1] - 1)
+
+    def one(state_i, seg_i, act):
+        def body(st, lp_t):
+            return _step(st, lp_t.astype(jnp.float32), act, blank_id,
+                         K, N, L, lm=lm), None
+        st, _ = jax.lax.scan(body, state_i, seg_i)
+        return st
+
+    return jax.vmap(one)(state, lp_seg, active)
+
+
+def beam_carry_best(state, compact_tokens: bool = True, num_classes: int = 256):
+    """Best-hypothesis view of carried state: (tokens (B, L), lengths (B,),
+    scores (B,)) — the streaming INTERIM fetch (one row per slot, selected
+    by total log-prob via one-hot, gather-free like the rest of the beam)."""
+    prefixes, lengths, hashes, last, p_b, p_nb = state
+    K = lengths.shape[1]
+    score = _logsumexp2(p_b, p_nb)                       # (B, K)
+    sel = jnp.argmax(score, -1)[:, None] == jnp.arange(K)[None, :]
+    toks = jnp.sum(jnp.where(sel[:, :, None], prefixes, 0), 1)
+    lens = jnp.sum(jnp.where(sel, lengths, 0), 1)
+    sc = jnp.sum(jnp.where(sel, score, 0.0), 1)
+    if compact_tokens:
+        toks = toks.astype(jnp.uint8 if num_classes <= 256 else jnp.int16)
+    return toks, lens, sc
+
+
 def beam_search_device_sharded(log_probs, input_lengths, blank_id: int,
                                mesh, **kw):
     """Data-parallel device beam (VERDICT r4 #5): the batch dim shards over

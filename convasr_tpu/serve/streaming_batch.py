@@ -36,7 +36,7 @@ import typing
 
 import numpy as np
 
-from .streaming import StreamingTranscriber
+from .streaming import StreamEvent, StreamingTranscriber
 
 MULAW_MU = 255.0  # G.711 mu; must match train/loop.py undo_int16_transport
 
@@ -108,6 +108,32 @@ class BatchedStreamingSession(StreamingTranscriber):
             # with zeros, and those frames are padding, not speech
             events.extend(self._emit(idx, times, endpoint,
                                      min(end, self.total_sec), topk=topk))
+        if ticks and self.engine.beam_interim_width:
+            # beam-quality INTERIM (VERDICT r4 #9): the carried device beam's
+            # best hypothesis replaces the greedy interim tail. Finals still
+            # come from the committed-frame paths (greedy collapse or host
+            # beam+LM); a final ends the utterance, so the slot's device
+            # state re-initializes on the next tick.
+            latest = self.engine._beam_interim_latest.get(self.slot)
+            if latest is not None:
+                toks, ln = latest
+                text = self.tokenizer.decode([toks[:ln].tolist()])[0]
+                for e in reversed(events):
+                    if not e.is_final:
+                        e.text = text
+                        break
+                else:
+                    if text:
+                        events.append(StreamEvent(text=text, is_final=False,
+                                                  end_time=self.consumed_sec))
+            # per-UTTERANCE state: restart at endpoints (and beam-mode
+            # finals, which fire exactly there) — NOT at greedy incremental
+            # commits, which happen every tick mid-utterance
+            if self.endpointed or (self.beam_decoder is not None
+                                   and any(e.is_final for e in events)):
+                with self.engine.lock:
+                    self.engine._beam_reset_slots.add(self.slot)
+                    self.engine._beam_interim_latest.pop(self.slot, None)
         return events
 
     def flush(self) -> list:
@@ -155,7 +181,9 @@ class BatchedStreamingEngine:
     def __init__(self, forward_fused, sample_rate: int, n_slots: int = 16,
                  window_sec: float = 10.0, chunk_sec: float = 0.32,
                  logprobs_provider=None, transport: str = 'int16',
-                 max_lookahead_sec: float = 2.0, beam_topk: int = 0):
+                 max_lookahead_sec: float = 2.0, beam_topk: int = 0,
+                 beam_interim_width: int = 0, beam_interim_cutoff: int = 8,
+                 beam_interim_max_len: int = 256):
         self.forward_fused = forward_fused
         self.sample_rate = sample_rate
         self.n_slots = n_slots
@@ -175,6 +203,21 @@ class BatchedStreamingEngine:
         assert beam_topk == 0 or logprobs_provider is not None, \
             'beam_topk needs the fused tick (logprobs_provider)'
         self.beam_topk = beam_topk
+        # beam_interim_width > 0 (VERDICT r4 #9, beyond-reference): a carried
+        # DEVICE beam lives in the engine's device state — each tick advances
+        # it by the chunk's newly-matured frames (ops/beam_device
+        # beam_carry_steps inlined into the fused program) and fetches one
+        # best-hypothesis row per slot, so INTERIM text is beam-quality, not
+        # greedy. State resets per utterance (at beam finals / slot reuse).
+        assert beam_interim_width == 0 or logprobs_provider is not None, \
+            'beam interims need the fused tick (logprobs_provider)'
+        self.beam_interim_width = beam_interim_width
+        self.beam_interim_cutoff = beam_interim_cutoff
+        self.beam_interim_max_len = beam_interim_max_len
+        self._beam_state = None            # carried device state (lazy)
+        self._beam_interim_latest = {}     # slot -> (tokens u8, length)
+        self._mature_frames = None         # frames consumed per tick
+        self._beam_reset_slots = set()     # rows to re-init next tick
         self.frame_dur = None     # window_sec / full output frames (set lazily)
         self.tail_frames = None   # fused fetch length (None = full window)
         self._beam_pack_u8 = False  # set by _init_fused when vocab <= 256
@@ -201,6 +244,9 @@ class BatchedStreamingEngine:
             assert beam_decoder is None or self.beam_topk > 0, \
                 'beam sessions need an engine built with beam_topk > 0'
             slot = self._free.pop()
+            if self.beam_interim_width:
+                self._beam_reset_slots.add(slot)   # fresh utterance state
+                self._beam_interim_latest.pop(slot, None)
             s = BatchedStreamingSession(
                 self, slot, tokenizer, lookahead_sec=lookahead_sec,
                 endpoint_silence_sec=endpoint_silence_sec,
@@ -224,6 +270,9 @@ class BatchedStreamingEngine:
             if slot in self.sessions:
                 del self.sessions[slot]
                 self._free.append(slot)
+                if self.beam_interim_width:
+                    self._beam_reset_slots.add(slot)
+                    self._beam_interim_latest.pop(slot, None)
                 if self._buf is not None:
                     # zero the slot's ring so a future tenant starts silent
                     self._zero_slot(slot)
@@ -284,8 +333,34 @@ class BatchedStreamingEngine:
         # ARCHITECTURE.md "beam+LM finals cost ~12 budget points")
         self._beam_pack_u8 = bool(K) and vocab <= 256
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def _tick(weights, buf, chunk_wire, advance):
+        # carried device-beam interims: the chunk's worth of output frames
+        # that newly crossed the engine's maturity horizon this tick — each
+        # audio frame is consumed by the beam exactly once across ticks
+        KI = self.beam_interim_width
+        if KI:
+            # frames advanced per tick: derived from the MODEL's own framing
+            # (frames(W + C) - frames(W) = C / total-stride when the chunk is
+            # stride-aligned), not W/frames — conv framing has off-by-one
+            # boundary frames that make frames*C/W fractional
+            frames_pc = jax.eval_shape(
+                lambda w, x: apply_lp(w, x, jnp.ones((N,), jnp.float32)),
+                get_weights(),
+                jax.ShapeDtypeStruct((N, W + C), jnp.float32)).shape[1]
+            S = frames_pc - frames
+            assert S > 0 and C % S == 0, \
+                (f'chunk ({C} samples) is not stride-aligned: frames(W)='
+                 f'{frames}, frames(W+C)={frames_pc}')
+            HB = min(int(np.ceil(self.max_lookahead_sec / self.frame_dur)),
+                     frames - S)
+            self._mature_frames = S
+            from ..ops.beam_device import (beam_carry_best, beam_carry_init,
+                                           beam_carry_steps)
+            self._beam_state0 = lambda: beam_carry_init(
+                N, KI, self.beam_interim_max_len)
+            cutoff = self.beam_interim_cutoff
+
+        @functools.partial(jax.jit, donate_argnums=(1,) + ((2,) if KI else ()))
+        def _tick(weights, buf, bstate, chunk_wire, advance, reset):
             if mulaw:
                 y = (chunk_wire.astype(jnp.float32) - 128.0) / 127.0
                 dec = (jnp.sign(y)
@@ -296,6 +371,20 @@ class BatchedStreamingEngine:
             new = jnp.concatenate([buf[:, C:], dec], axis=1)
             buf = jnp.where(advance[:, None], new, buf)
             lp = apply_lp(weights, buf, jnp.ones((N,), jnp.float32))
+            beam_out = ()
+            if KI:
+                # per-utterance restart: reset rows re-init to the empty
+                # prefix BEFORE consuming this tick's matured frames
+                init = beam_carry_init(N, KI, self.beam_interim_max_len)
+                bstate = jax.tree.map(
+                    lambda s, i: jnp.where(
+                        reset.reshape((N,) + (1,) * (s.ndim - 1)), i, s),
+                    bstate, init)
+                seg = lp[:, frames - HB - S:frames - HB, :]
+                bstate = beam_carry_steps(bstate, seg, advance,
+                                          vocab - 1, cutoff)
+                btoks, blens, _ = beam_carry_best(bstate, num_classes=vocab)
+                beam_out = (bstate, btoks, blens)
             if K:
                 # beam mode: the tail fetch carries top-k (log-prob, id)
                 # pairs — 3 B/frame/k packed (or (N, F, k, 2) f16) vs the
@@ -304,14 +393,17 @@ class BatchedStreamingEngine:
                 if self._beam_pack_u8:
                     vb = jax.lax.bitcast_convert_type(
                         vals.astype(jnp.float16), jnp.uint8)   # (N, F, K, 2)
-                    return buf, jnp.concatenate(
-                        [vb, ids.astype(jnp.uint8)[..., None]], axis=-1)
-                return buf, jnp.stack(
-                    [vals.astype(jnp.float16), ids.astype(jnp.float16)], -1)
+                    return (buf, jnp.concatenate(
+                        [vb, ids.astype(jnp.uint8)[..., None]], axis=-1)) \
+                        + beam_out
+                return (buf, jnp.stack(
+                    [vals.astype(jnp.float16), ids.astype(jnp.float16)], -1)) \
+                    + beam_out
             idx = jnp.argmax(lp, -1).astype(idx_dtype)
-            return buf, idx[:, frames - F:]
+            return (buf, idx[:, frames - F:]) + beam_out
 
-        self._tick_fused = lambda buf, ch, adv: _tick(get_weights(), buf, ch, adv)
+        self._tick_fused = lambda buf, bstate, ch, adv, rst: \
+            _tick(get_weights(), buf, bstate, ch, adv, rst)
 
     def _encode_chunk(self, chunk_i16: np.ndarray) -> np.ndarray:
         # wire seam: (N, C) int16 — the device tick decodes exactly this
@@ -364,9 +456,26 @@ class BatchedStreamingEngine:
                 advance[s] = True
             if self._tick_fused is not None:
                 # ONE dispatch: ring + forward + argmax/top-k + tail slice
-                self._buf, tail = self._tick_fused(
-                    self._buf, jnp.asarray(self._encode_chunk(chunk)),
-                    jnp.asarray(advance))
+                # (+ carried device-beam advance when beam_interim_width)
+                reset = np.zeros(self.n_slots, bool)
+                if self.beam_interim_width:
+                    if self._beam_state is None:
+                        self._beam_state = self._beam_state0()
+                    for s in self._beam_reset_slots:
+                        reset[s] = True
+                    self._beam_reset_slots.clear()
+                outs = self._tick_fused(
+                    self._buf, self._beam_state,
+                    jnp.asarray(self._encode_chunk(chunk)),
+                    jnp.asarray(advance), jnp.asarray(reset))
+                if self.beam_interim_width:
+                    self._buf, tail, self._beam_state, btoks, blens = outs
+                    btoks, blens = np.asarray(btoks), np.asarray(blens)
+                    for s in ready:
+                        self._beam_interim_latest[s] = \
+                            (btoks[s], int(blens[s]))
+                else:
+                    self._buf, tail = outs
                 self.ticks += 1
                 if self.beam_topk:
                     if self._beam_pack_u8:

@@ -70,6 +70,7 @@ def main():
     ap.add_argument('--penalty', type=float, default=0.3)
     ap.add_argument('--iterations', type=int, default=600)
     ap.add_argument('--noise', type=float, default=0.2)
+    ap.add_argument('--shift-noise', type=float, default=0.3)
     ap.add_argument('--speakers', type=int, default=4)
     ap.add_argument('--tmp', default=None)
     ap.add_argument('--skip-train', action='store_true')
@@ -90,6 +91,22 @@ def main():
     print('tmp:', tmp, flush=True)
     train_json, val_json, entries = probe.build_corpus(
         tmp, args.noise, edge_pad=0.3)
+    # SHIFTED val: the r4 pathology (intra-word blank runs splitting words)
+    # appeared under domain shift (adapt_bn_probe: val noise 0.3 + RT60
+    # 0.12), where posteriors go blank-heavy between weakened phones
+    rng = np.random.RandomState(77)
+    shift_entries = []
+    from convasr_tpu.audio import write_audio
+    from convasr_tpu.audio.synth import add_reverb
+    for i in range(40):
+        words = probe.sample_sentence(rng)
+        wave = probe.synth_sentence(rng, words, args.shift_noise, edge_pad=0.3)
+        wave = add_reverb(wave, SR, 0.12, rng)
+        path = str(tmp / f'shift_{i}.wav')
+        write_audio(path, wave[None, :], SR)
+        shift_entries.append(dict(audio_path=path, ref=' '.join(words),
+                                  begin=0.0, end=len(wave) / SR))
+    entries['shift'] = shift_entries
 
     from convasr_tpu.cli import train as train_cli
     from convasr_tpu.cli.transcribe import build_parser as tp, setup
@@ -129,55 +146,63 @@ def main():
         tok = text_pipeline.tokenizer
 
         from convasr_tpu.audio import io as audio_io
-        sigs = [audio_io.read_audio(e['audio_path'], sample_rate=SR,
-                                    mono=True)[0][0]
-                for e in entries['val']]
-        refs = [e['ref'] for e in entries['val']]
-        Tpad = int(np.ceil(max(len(s) for s in sigs) / 128) * 128)
-        x = np.zeros((len(sigs), Tpad), np.float32)
-        frac = np.array([len(s) / Tpad for s in sigs], np.float32)
-        for j, s in enumerate(sigs):
-            x[j, :len(s)] = s
-        lp, logits, olen = forward(jnp.asarray(x), jnp.asarray(frac))
-        lp, olen = np.asarray(lp), np.asarray(olen)
 
-        blank_mass, splits, max_runs = [], [], []
-        for b in range(len(sigs)):
-            ids = np.argmax(lp[b, :olen[b]], -1)
-            blank_mass.append(float(np.mean(
-                np.exp(lp[b, :olen[b], tok.eps_id]))))
-            s, m = blank_stats(ids, tok.eps_id, len(refs[b].split()))
-            splits.append(s)
-            max_runs.append(m)
+        def eval_split(split_entries):
+            sigs = [audio_io.read_audio(e['audio_path'], sample_rate=SR,
+                                        mono=True)[0][0]
+                    for e in split_entries]
+            refs = [e['ref'] for e in split_entries]
+            Tpad = int(np.ceil(max(len(s) for s in sigs) / 128) * 128)
+            x = np.zeros((len(sigs), Tpad), np.float32)
+            frac = np.array([len(s) / Tpad for s in sigs], np.float32)
+            for j, s in enumerate(sigs):
+                x[j, :len(s)] = s
+            lp, logits, olen = forward(jnp.asarray(x), jnp.asarray(frac))
+            lp, olen = np.asarray(lp), np.asarray(olen)
 
-        row = dict(blank_mass=float(np.mean(blank_mass)),
-                   spurious_splits=float(np.mean(splits)),
-                   max_interior_run=float(np.mean(max_runs)))
-        for bas in [8, 20]:
-            gen = GreedyCTCGenerator(blank_amount_to_space=bas)
-            hyps = []
+            blank_mass, splits, max_runs = [], [], []
             for b in range(len(sigs)):
-                tr = gen.generate(tok, lp[b:b + 1], [0.0],
-                                  [len(sigs[b]) / SR],
-                                  output_lengths=[int(olen[b])])[0][0]
-                hyps.append(text_pipeline.postprocess(
-                    ' '.join(seg['hyp'] for seg in tr)))
-            row[f'wer_bas{bas}'] = float(np.mean(
-                [wer_fn(hyp=h, ref=r) for h, r in zip(hyps, refs)]))
-        results[tag] = row
-        print(f'{tag}: default-flags WER {row["wer_bas8"]:.4f} | crutch '
-              f'(bas=20) WER {row["wer_bas20"]:.4f} | blank mass '
-              f'{row["blank_mass"]:.3f} | spurious splits/utt '
-              f'{row["spurious_splits"]:.2f} | mean max interior run '
-              f'{row["max_interior_run"]:.1f}', flush=True)
+                ids = np.argmax(lp[b, :olen[b]], -1)
+                blank_mass.append(float(np.mean(
+                    np.exp(lp[b, :olen[b], tok.eps_id]))))
+                s, m = blank_stats(ids, tok.eps_id, len(refs[b].split()))
+                splits.append(s)
+                max_runs.append(m)
+
+            row = dict(blank_mass=float(np.mean(blank_mass)),
+                       spurious_splits=float(np.mean(splits)),
+                       max_interior_run=float(np.mean(max_runs)))
+            for bas in [8, 20]:
+                gen = GreedyCTCGenerator(blank_amount_to_space=bas)
+                hyps = []
+                for b in range(len(sigs)):
+                    tr = gen.generate(tok, lp[b:b + 1], [0.0],
+                                      [len(sigs[b]) / SR],
+                                      output_lengths=[int(olen[b])])[0][0]
+                    hyps.append(text_pipeline.postprocess(
+                        ' '.join(seg['hyp'] for seg in tr)))
+                row[f'wer_bas{bas}'] = float(np.mean(
+                    [wer_fn(hyp=h, ref=r) for h, r in zip(hyps, refs)]))
+            return row
+
+        results[tag] = {}
+        for split in ['val', 'shift']:
+            row = results[tag][split] = eval_split(entries[split])
+            print(f'{tag}/{split}: default-flags WER {row["wer_bas8"]:.4f} '
+                  f'| crutch (bas=20) WER {row["wer_bas20"]:.4f} | blank '
+                  f'mass {row["blank_mass"]:.3f} | spurious splits/utt '
+                  f'{row["spurious_splits"]:.2f} | mean max interior run '
+                  f'{row["max_interior_run"]:.1f}', flush=True)
 
     print(json.dumps(results))
-    base, pen = results['pen0'], results[f'pen{args.penalty:g}']
-    print(f'\npenalty=0:   crutch gain {base["wer_bas8"] - base["wer_bas20"]:+.4f} '
-          f'(the pathology: default flags lose this much WER)')
-    print(f'penalty={args.penalty:g}: crutch gain '
-          f'{pen["wer_bas8"] - pen["wer_bas20"]:+.4f} '
-          f'(success = ~0: default flags match the crutch)')
+    for split in ['val', 'shift']:
+        base = results['pen0'][split]
+        pen = results[f'pen{args.penalty:g}'][split]
+        print(f'{split}: penalty=0 crutch gain '
+              f'{base["wer_bas8"] - base["wer_bas20"]:+.4f} (the pathology) '
+              f'| penalty={args.penalty:g} default-vs-crutch '
+              f'{pen["wer_bas8"] - pen["wer_bas20"]:+.4f}, default-flags WER '
+              f'{base["wer_bas8"]:.4f} -> {pen["wer_bas8"]:.4f}')
 
 
 if __name__ == '__main__':

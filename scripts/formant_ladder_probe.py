@@ -60,6 +60,13 @@ def main():
     ap.add_argument('--beta', type=float, default=None)
     ap.add_argument('--blank-penalty', type=float, default=0.0,
                     help='train-time peaky-CTC remedy (--ctc-blank-penalty)')
+    ap.add_argument('--eval-noise', type=float, default=None,
+                    help='render a STRESS eval split at this noise level '
+                         '(same test speakers/lexicon; the matched test '
+                         'split saturates near 0 WER once trained, so '
+                         'decoder deltas need a stressed condition)')
+    ap.add_argument('--eval-rt60', type=float, default=0.0)
+    ap.add_argument('--eval-utts', type=int, default=12)
     args = ap.parse_args()
 
     if args.device == 'cpu':
@@ -137,7 +144,19 @@ def main():
 
     import jax.numpy as jnp
     from convasr_tpu.audio import io as audio_io
-    entries = paths[f'{args.split}_entries']
+    split_name = args.split
+    if args.eval_noise is not None:
+        split_name = f'stress_n{args.eval_noise:g}_r{args.eval_rt60:g}'
+        sp = tmp / f'{split_name}.json'
+        if not sp.exists():
+            from convasr_tpu.audio.corpus import build_eval_split
+            build_eval_split(tmp, split_name, (args.eval_noise,),
+                             (args.eval_rt60,), n_speakers=args.speakers,
+                             utts_per_speaker=args.eval_utts,
+                             n_words=args.n_words, max_words=args.max_words)
+        paths[split_name] = str(sp)
+        paths[f'{split_name}_entries'] = json.load(open(sp))
+    entries = paths[f'{split_name}_entries']
     # ONE padded shape + batched forward: per-utt B=1 shapes would each pay a
     # fresh compile through the axon tunnel (30 s+ per shape)
     sigs = []
@@ -165,7 +184,7 @@ def main():
         for j in range(len(chunk)):
             lps.append(lp[j])
             olens.append(int(olen[j]))
-    print(f'forward over {len(entries)} {args.split} utts: '
+    print(f'forward over {len(entries)} {split_name} utts: '
           f'{time.time()-t0:.0f}s', flush=True)
 
     from convasr_tpu.metrics import wer as wer_fn
@@ -271,10 +290,10 @@ def main():
         print(f'hybrid K={K}: 1-best WER {w1:.4f} | oracle WER {wo:.4f} | '
               f'exact truth in top-K {truth_in_topk}/{len(lps)}', flush=True)
 
-    print('\n=== ladder (split=%s, a=%s b=%s) ===' % (args.split, a_r, b_r))
+    print('\n=== ladder (split=%s, a=%s b=%s) ===' % (split_name, a_r, b_r))
     for k, v in results.items():
         print(f'{k:18s} {v:.4f}')
-    print(json.dumps(dict(results, split=args.split, n=len(lps),
+    print(json.dumps(dict(results, split=split_name, n=len(lps),
                           alpha=a_r, beta=b_r)))
 
 

@@ -194,8 +194,9 @@ class TestBatchedEngineBeamEqualsOffline:
         # _tick donates the ring buffer (donate_argnums) — capture BOTH
         # outputs so engine._buf stays live (ADVICE r4)
         buf_before = np.asarray(engine._buf)
-        engine._buf, tail = engine._tick_fused(engine._buf,
+        engine._buf, tail = engine._tick_fused(engine._buf, None,
                                                np.zeros((1, chunk), np.int16),
+                                               np.zeros(1, bool),
                                                np.zeros(1, bool))
         tail = np.asarray(tail)
         assert tail.dtype == np.uint8 and tail.shape[-1] == 3  # (N, F, K, 3)

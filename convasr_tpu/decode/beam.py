@@ -249,7 +249,17 @@ def decode_device_with_lm(log_probs: shaping.BTC, output_lengths, tokenizer,
     (default T+1 = exact; speech emits ~T/10 tokens, so a smaller cap cuts
     both the (K, L) prefix-rebuild HBM traffic in the scan and the fetch).
     mesh: shard the batch over the mesh 'data' axis (pod-scale decoding,
-    ops/beam_device.beam_search_device_sharded) — results are identical."""
+    ops/beam_device.beam_search_device_sharded) — results are identical.
+
+    TUNE (alpha, beta) PER BEAM WIDTH on a dev set. The rescoring rule
+    `ctc + alpha*lm + beta*n_words` has a deletion bias: lm sums negative
+    per-word log-probs, so hypotheses with FEWER words score higher lm terms,
+    and wider beams surface more short candidates for the rule to promote —
+    with (alpha, beta) fixed at their K=16 optimum, 1-best WER DEGRADES
+    monotonically in K even while oracle WER improves (measured r5,
+    scripts/hybrid_rank_probe.py on the scaled-corpus stress split: fixed
+    (1.5, 0) -> K16/32/64 = 0.302/0.324/0.334 vs per-K dev-tuned ->
+    0.302/0.300/0.272; beta, the word-count bonus, must RISE with K)."""
     import jax.numpy as jnp
     from ..ops.beam_device import beam_search_device, beam_search_device_sharded
     log_probs = np.asarray(log_probs)

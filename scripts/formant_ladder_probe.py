@@ -67,6 +67,11 @@ def main():
                          'decoder deltas need a stressed condition)')
     ap.add_argument('--eval-rt60', type=float, default=0.0)
     ap.add_argument('--eval-utts', type=int, default=12)
+    ap.add_argument('--save-lp', default=None,
+                    help='dump the eval posteriors (lp/olen/refs .npz) for '
+                         'offline ranking studies (hybrid_rank_probe.py)')
+    ap.add_argument('--forward-only', action='store_true',
+                    help='stop after the forward + --save-lp dump')
     args = ap.parse_args()
 
     if args.device == 'cpu':
@@ -186,6 +191,18 @@ def main():
             olens.append(int(olen[j]))
     print(f'forward over {len(entries)} {split_name} utts: '
           f'{time.time()-t0:.0f}s', flush=True)
+
+    if args.save_lp:
+        Tm = max(lp.shape[0] for lp in lps)
+        lp_d = np.full((len(lps), Tm, lps[0].shape[-1]), -20.0, np.float32)
+        for i, lp in enumerate(lps):
+            lp_d[i, :lp.shape[0]] = lp
+        np.savez(args.save_lp, lp=lp_d, olen=np.asarray(olens, np.int32),
+                 refs=np.asarray(refs, object), word_arpa=word_arpa,
+                 split=split_name)
+        print('saved posteriors to', args.save_lp, flush=True)
+        if args.forward_only:
+            return
 
     from convasr_tpu.metrics import wer as wer_fn
 

@@ -28,9 +28,13 @@ SR = 8000
 def bpe_setup(tmp_path_factory):
     tmp = tmp_path_factory.mktemp('bpe_wer')
     from convasr_tpu.audio.corpus import build_corpus
-    paths = build_corpus(tmp / 'corpus', n_speakers=6, utts_per_speaker=16,
-                         dev_utts_per_speaker=2, test_utts_per_speaker=8,
-                         n_words=30, min_words=2, max_words=4, seed=0)
+    # the chip-calibrated converging recipe (see TestScaledFormantWERHarness:
+    # 7 train speakers x 24 utts, 40 words, 3-4-word sentences, 1500 iters
+    # -> greedy 0.024 on chip); the first r5 attempt (3 speakers x 16 utts,
+    # 700 iters) underfit to 0.76 WER — data quantity was the binding factor
+    paths = build_corpus(tmp / 'corpus', n_speakers=10, utts_per_speaker=24,
+                         dev_utts_per_speaker=4, test_utts_per_speaker=12,
+                         n_words=40, min_words=3, max_words=4, seed=0)
 
     # BPE vocab from TRAIN transcripts only (the reference trains
     # sentencepiece on dataset text the same way)
@@ -70,15 +74,16 @@ class TestBPEWER:
         exp = tmp_path / 'exp'
         args = train_cli.build_parser().parse_args([
             '--model', 'JasperNetSmall', '--num-input-features', '24',
-            '--base-width', '16',
+            '--base-width', '24',
             '--train-data-path', paths['train'],
             '--val-data-path', paths['dev'],
             '--experiments-dir', str(exp), '--experiment-id', 'bpe',
-            '--train-batch-size', '16', '--iterations', '700',
-            '--log-iteration-interval', '200', '--val-iteration-interval', '700',
+            '--train-batch-size', '24', '--iterations', '1500',
+            '--log-iteration-interval', '300',
+            '--val-iteration-interval', '1500',
             '--epochs', '100000', '--bf16', 'false',
             '--skip-on-epoch-end-evaluation',
-            '--optimizer', 'NovoGrad', '--lr', '1e-2', '--dropout', '0.1',
+            '--optimizer', 'NovoGrad', '--lr', '1e-2', '--dropout', '0.2',
             '--num-workers', '0', '--batch-time-padding-multiple', '128',
             '--text-config', text_config,
             '--text-pipelines', 'char_legacy', 'bpe',
@@ -133,5 +138,5 @@ class TestBPEWER:
 
         # the BPE head must LEARN: far below the ~1.0 of an untrained head,
         # and in the same regime as the char head on the same model
-        assert wers['bpe'] < 0.55, wers
-        assert wers['bpe'] < wers['char_legacy'] + 0.25, wers
+        assert wers['bpe'] < 0.35, wers
+        assert wers['bpe'] < wers['char_legacy'] + 0.15, wers

@@ -122,6 +122,23 @@ class TestWERHarness:
 
 
 @pytest.fixture(scope='module')
+def scaled_corpus(tmp_path_factory):
+    """The r5 SCALED formant corpus (audio/corpus.py, VERDICT r4 #1) at CPU
+    harness size: full 25-phone inventory (vowels/fricatives/stops/nasals/
+    trills), 40-word phonotactic lexicon, bigram-grammar 3-4-word sentences,
+    10 speakers with DISJOINT train/dev/test speaker + noise + reverb splits
+    (test = unseen speakers AND unseen noise 0.035 AND unseen RT60 0.16).
+    Chip calibration of this exact config: scripts/formant_ladder_probe.py
+    --speakers 10 --utts 24 --n-words 40 --max-words 4 --iterations 1500."""
+    from convasr_tpu.audio.corpus import build_corpus
+    tmp = tmp_path_factory.mktemp('wer_scaled')
+    paths = build_corpus(tmp, n_speakers=10, utts_per_speaker=24,
+                         dev_utts_per_speaker=4, test_utts_per_speaker=12,
+                         n_words=40, min_words=3, max_words=4, seed=0)
+    return tmp, paths
+
+
+@pytest.fixture(scope='module')
 def formant_corpus(tmp_path_factory):
     """VERDICT r3 #8: formant-style synthesis (audio/synth.py) — harmonic
     source at a per-speaker f0 shaped by 2 gaussian formants per phone, with
@@ -196,3 +213,61 @@ class TestFormantWERHarness:
         wer_val = float(np.mean([compute_wer(hyp=h, ref=r)
                                  for h, r in zip(hyps, refs) if r]))
         assert wer_val < 0.35, (wer_val, list(zip(hyps, refs)))
+
+
+@pytest.mark.slow
+class TestScaledFormantWERHarness:
+    """End-to-end accuracy regression guard on the SCALED corpus (VERDICT r4
+    next #1): train CLI -> transcribe CLI -> WER on held-out SPEAKERS under
+    held-out NOISE and REVERB, with a bar that catches a 2x regression (the
+    r4 harness asserted <0.35 against a 0.0 measurement on a 6-word toy).
+
+    Full-scale chip evidence (480 utts / 4k iters): greedy 0.0069, hybrid
+    0.0000 (COMPONENTS.md r5 rows). This reduced config trains in CPU-test
+    time; the bar is set from its chip calibration."""
+
+    def test_scaled_corpus_trains_to_low_wer(self, scaled_corpus, tmp_path):
+        tmp, paths = scaled_corpus
+        from convasr_tpu.cli import train as train_cli
+        from convasr_tpu.cli import transcribe as transcribe_cli
+        from convasr_tpu.metrics import wer as compute_wer
+
+        exp = tmp_path / 'exp'
+        args = train_cli.build_parser().parse_args([
+            '--model', 'JasperNetSmall', '--num-input-features', '24',
+            '--base-width', '24',
+            '--train-data-path', paths['train'],
+            '--val-data-path', paths['dev'],
+            '--experiments-dir', str(exp), '--experiment-id', 'wer',
+            '--train-batch-size', '24', '--iterations', '1500',
+            '--log-iteration-interval', '300',
+            '--val-iteration-interval', '1500',
+            '--epochs', '100000', '--bf16', 'false',
+            '--skip-on-epoch-end-evaluation',
+            '--optimizer', 'NovoGrad', '--lr', '1e-2', '--dropout', '0.2',
+            '--num-workers', '0', '--batch-time-padding-multiple', '128',
+            '--text-config', str(ROOT / 'configs' / 'ru_text_config.json'),
+            '--val-config', str(ROOT / 'configs' / 'ru_val_config.json')])
+        train_cli.main(args)
+        ckpts = sorted((exp / 'wer').glob('checkpoint_epoch*_iter*'))
+        assert ckpts
+
+        out_dir = tmp_path / 'transcribed'
+        targs = transcribe_cli.build_parser().parse_args([
+            '--checkpoint', str(ckpts[-1]), '-i', paths['test'],
+            '-o', str(out_dir),
+            '--output-json', '--bf16', 'false', '--num-workers', '0',
+            '--text-config', str(ROOT / 'configs' / 'ru_text_config.json')])
+        transcribe_cli.main(targs)
+        hyps, refs = [], []
+        for f in out_dir.glob('*.json'):
+            for seg in json.load(open(f)):
+                hyps.append(seg.get('hyp', ''))
+                refs.append(seg.get('ref', ''))
+        assert len(refs) == 24 and any(refs)
+        wer_val = float(np.mean([compute_wer(hyp=h, ref=r)
+                                 for h, r in zip(hyps, refs) if r]))
+        # chip calibration of this exact config measured WER_CAL (see
+        # formant_ladder_probe r5 run); the bar is ~2x that with backend
+        # margin — a halved-quality model FAILS here, unlike the r4 bar
+        assert wer_val < 0.15, (wer_val, sorted(zip(refs, hyps))[:8])

@@ -239,9 +239,18 @@ def main(args):
         # dispatch — the serving configuration of serve --batch-window-ms
         import concurrent.futures
         from ..serve.batching import DynamicBatcher
-        assert args.fused_decode and not args.onnx, \
-            '--concurrency needs the fused decode path'
-        batcher = DynamicBatcher(lambda xb, xlb: fwd(variables, xb, xlb),
+        assert not args.onnx, '--concurrency needs the live model path'
+        if dec_choice in ('BeamSearchDecoderDevice', 'BeamSearchDecoderDeviceLM'):
+            # the device beam is vmapped over the batch — B concurrent
+            # requests cost ONE fused forward+beam dispatch, so batching
+            # multiplies the accurate decoder's sustainable rps by ~B just
+            # like the greedy path (host rescore stays per-request, ~0.2 ms)
+            batch_fn = lambda xb, xlb: beam_fwd(variables, xb, xlb)  # noqa: E731
+        else:
+            assert args.fused_decode and dec_choice == 'GreedyDecoder', \
+                '--concurrency supports greedy (fused) and device-beam decoders'
+            batch_fn = lambda xb, xlb: fwd(variables, xb, xlb)  # noqa: E731
+        batcher = DynamicBatcher(batch_fn,
                                  max_batch=args.concurrency,
                                  max_wait_ms=args.batch_window_ms,
                                  dtype=np.int16 if args.input_dtype == 'int16'
@@ -252,7 +261,13 @@ def main(args):
             now = time.perf_counter()
             if now < t_request:
                 time.sleep(t_request - now)
-            batcher(x_row, 1.0)
+            out = batcher(x_row, 1.0)
+            if dec_choice == 'BeamSearchDecoderDeviceLM':
+                tokens, lens, scores = out
+                _rescore([(tokens[0, k, :lens[0, k]].tolist(),
+                           float(scores[0, k]))
+                          for k in range(tokens.shape[1])],
+                         labels, wlm, args.beam_alpha, args.beam_beta)
             return time.perf_counter() - t_request
 
         # warm the (concurrency, T) program once (first compile can take

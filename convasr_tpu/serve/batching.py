@@ -77,13 +77,20 @@ class DynamicBatcher:
                 x[i] = p.x
                 xlen[i] = p.xlen
             try:
-                packed = np.asarray(self.forward_fused(jnp.asarray(x),
-                                                       jnp.asarray(xlen)))
+                out = self.forward_fused(jnp.asarray(x), jnp.asarray(xlen))
                 with self.lock:
                     self.dispatches += 1
                     self.served += len(batch)
-                for i, p in enumerate(batch):
-                    p.result = packed[i:i + 1]      # keep the (1, T', 2) shape
+                if isinstance(out, tuple):
+                    # multi-output forwards (e.g. the fused forward+device-
+                    # beam program: tokens/lengths/scores) — slice each
+                    outs = tuple(np.asarray(o) for o in out)
+                    for i, p in enumerate(batch):
+                        p.result = tuple(o[i:i + 1] for o in outs)
+                else:
+                    packed = np.asarray(out)
+                    for i, p in enumerate(batch):
+                        p.result = packed[i:i + 1]  # keep the (1, T', 2) shape
             except Exception as e:                  # surface to every waiter
                 for p in batch:
                     p.error = e

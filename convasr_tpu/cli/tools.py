@@ -406,9 +406,108 @@ def find_solution_for_frontend_input_output_shapes_divisibility(
     print('Finished!')
 
 
+def lmtune(input_path, lm, beam_widths, alphas, betas, text_config, pipeline,
+           head, cutoff_top_n, max_len, output_path, device):
+    """Dev-tune the hybrid decoder's (alpha, beta) rescoring weights PER
+    BEAM WIDTH (decode/beam.tune_rescore_weights; the r5 root cause of
+    beam-width non-monotonicity — the word bonus beta must rise with K).
+
+    Operator workflow:
+      1. transcribe the DEV manifest with `--logits` (dense dumps; the
+         `--logits-topk` sparse format is not accepted here) — one .npz per
+         utterance with the raw logits and the reference text,
+      2. `tools.py lmtune -i dev_out/ --lm word.binlm --beam-widths 16 32 64`
+      3. decode production with the printed `--beam-alpha/--beam-beta` for
+         the beam width you deploy.
+    """
+    import glob
+
+    import numpy as np
+
+    import jax
+    if device:
+        try:
+            jax.config.update('jax_platforms', device)
+        except Exception:
+            pass  # backend already initialized (e.g. under pytest)
+
+    from ..decode.beam import tune_rescore_weights
+    from ..text import ProcessingPipeline
+
+    files = (sorted(glob.glob(os.path.join(input_path, '*.npz')))
+             if os.path.isdir(input_path) else [input_path])
+    assert files, f'no .npz logits dumps under {input_path}'
+    lps, refs = [], []
+    for f in files:
+        d = np.load(f, allow_pickle=True)
+        key = f'logits_{head}'
+        assert key in d, (
+            f'{f} has no dense {key!r} — dump the dev set with '
+            '`transcribe --logits` (without --logits-topk)')
+        x = d[key]
+        if x.dtype.kind == 'V' and x.dtype.itemsize == 2:
+            # np.savez stores bf16 (ml_dtypes) as a 2-byte void dtype
+            import ml_dtypes
+            x = x.view(ml_dtypes.bfloat16)
+        x = np.asarray(x, np.float32)
+        m = x.max(-1, keepdims=True)
+        lps.append(x - m - np.log(np.exp(x - m).sum(-1, keepdims=True)))
+        refs.append(str(d['ref']))
+    T = max(lp.shape[0] for lp in lps)
+    lp_pad = np.full((len(lps), T, lps[0].shape[-1]), -30.0, np.float32)
+    olen = np.zeros(len(lps), np.int32)
+    for i, lp in enumerate(lps):
+        lp_pad[i, :lp.shape[0]] = lp
+        olen[i] = lp.shape[0]
+
+    pipe = ProcessingPipeline.make(
+        ProcessingPipeline.load_config(text_config), pipeline)
+    results = tune_rescore_weights(
+        lp_pad, olen, refs, pipe.tokenizer,
+        lambda toks: pipe.postprocess(pipe.decode([toks])[0]),
+        lm, beam_widths=beam_widths, alphas=alphas, betas=betas,
+        cutoff_top_n=cutoff_top_n, max_len=max_len)
+    print(f'{len(files)} utts | {"K":>4s} {"(alpha, beta)":>14s} '
+          f'{"devWER":>7s} {"evalWER":>8s} {"oracle":>7s}')
+    for K, r in results.items():
+        ab = f'({r["alpha"]}, {r["beta"]})'
+        print(f'{"":9s} {K:4d} {ab:>14s} '
+              f'{r["dev_wer"]:7.4f} {r["eval_wer"]:8.4f} {r["oracle_wer"]:7.4f}')
+    for K, r in results.items():
+        print(f'K={K}: --decoder BeamSearchDecoderDeviceLM --beam-width {K} '
+              f'--lm {lm} --beam-alpha {r["alpha"]} --beam-beta {r["beta"]}')
+    if output_path:
+        with open(output_path, 'w') as f:
+            json.dump({str(k): v for k, v in results.items()}, f, indent=2)
+        print(output_path)
+    return results
+
+
 def build_parser():
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest='cmd', required=True)
+
+    c = sub.add_parser('lmtune', help='dev-tune hybrid-decoder (alpha, beta) '
+                                      'per beam width from transcribe '
+                                      '--logits dumps')
+    c.add_argument('--input-path', '-i', required=True,
+                   help='directory of transcribe --logits .npz dumps '
+                        '(or one file)')
+    c.add_argument('--lm', required=True, help='word .arpa/.arpa.gz/.binlm')
+    c.add_argument('--beam-widths', type=int, nargs='+', default=[16, 32, 64])
+    c.add_argument('--alphas', type=float, nargs='+',
+                   default=[0.2, 0.3, 0.5, 0.7, 1.0, 1.5, 2.0])
+    c.add_argument('--betas', type=float, nargs='+',
+                   default=[0.0, 0.25, 0.5, 1.0, 1.5, 2.0, 3.0])
+    c.add_argument('--text-config', default='configs/ru_text_config.json')
+    c.add_argument('--pipeline', default='char_legacy')
+    c.add_argument('--head', type=int, default=0)
+    c.add_argument('--cutoff-top-n', type=int, default=8)
+    c.add_argument('--max-len', type=int)
+    c.add_argument('--output-path', '-o')
+    c.add_argument('--device', default='',
+                   help="e.g. 'cpu' to tune off-chip")
+    c.set_defaults(func=lmtune)
 
     c = sub.add_parser('bpetrain')
     c.add_argument('--input-path', '-i', required=True)

@@ -216,25 +216,101 @@ def rescore_with_lm(hyps: typing.List[typing.Tuple[typing.List[int], float]],
     library is available the whole loop runs natively over the same mmap'd
     LM file (ctc_beam.cpp lm_rescore, identical Katz chain) — the python
     per-word loop costs ~1 ms/utt and binds the hybrid decoder pipeline."""
-    native = load_native_lm(getattr(lm, 'path', None))
-    if native is not None:
-        texts = [''.join(labels[t] for t in tokens) for tokens, _ in hyps]
-        lm_scores, word_counts = native.rescore(texts)
-        rescored = [(tokens, ctc_score + alpha * float(s) + beta * int(w))
-                    for (tokens, ctc_score), s, w
-                    in zip(hyps, lm_scores, word_counts)]
-    else:
-        rescored = []
-        for tokens, ctc_score in hyps:
-            text = ''.join(labels[t] for t in tokens)
-            words = text.split()
-            lm_score = 0.0
-            for i in range(len(words)):
-                lm_score += lm.score(words[:i + 1])
-            rescored.append(
-                (tokens, ctc_score + alpha * lm_score + beta * len(words)))
+    texts = [''.join(labels[t] for t in tokens) for tokens, _ in hyps]
+    lm_scores, word_counts = lm_word_scores(texts, lm)
+    rescored = [(tokens, ctc_score + alpha * float(s) + beta * int(w))
+                for (tokens, ctc_score), s, w
+                in zip(hyps, lm_scores, word_counts)]
     rescored.sort(key=lambda h: -h[1])
     return rescored
+
+
+def lm_word_scores(texts: typing.Sequence[str], lm: 'ArpaLM'):
+    """Per text: (sum of logP(word | preceding words), word count) under the
+    word n-gram LM — the raw ingredients of the rescoring rule, so a caller
+    can sweep (alpha, beta) without re-touching the LM. Native batch path
+    (ctc_beam.cpp lm_rescore) when the compiler is available."""
+    native = load_native_lm(getattr(lm, 'path', None))
+    if native is not None:
+        return native.rescore(texts)
+    lm_scores, word_counts = [], []
+    for text in texts:
+        words = text.split()
+        lm_scores.append(sum(lm.score(words[:i + 1])
+                             for i in range(len(words))))
+        word_counts.append(len(words))
+    return (np.asarray(lm_scores, np.float32),
+            np.asarray(word_counts, np.int32))
+
+
+def tune_rescore_weights(log_probs, output_lengths, refs, tokenizer, to_text,
+                         lm_path, beam_widths=(16, 32, 64),
+                         alphas=(0.2, 0.3, 0.5, 0.7, 1.0, 1.5, 2.0),
+                         betas=(0.0, 0.25, 0.5, 1.0, 1.5, 2.0, 3.0),
+                         cutoff_top_n=8, max_len=None, holdout=True):
+    """Dev-tune the hybrid decoder's (alpha, beta) PER BEAM WIDTH.
+
+    Why per K (measured r5, scripts/hybrid_rank_probe.py): the rescoring rule
+    `ctc + alpha*lm + beta*n_words` has a deletion bias — lm sums negative
+    per-word log-probs, so fewer words means a higher lm term, and wider
+    beams surface more short candidates for the rule to promote. With one
+    (alpha, beta) tuned at K=16, 1-best WER DEGRADES monotonically in K even
+    while oracle WER improves; re-tuning per K (beta, the word bonus, must
+    rise with K) restores monotonicity.
+
+    Protocol: per K the device beam runs ONCE over the dev posteriors (the
+    search output is ranking-independent), each candidate is scored with the
+    word LM once, then the (alpha, beta) grid is swept in pure numpy. With
+    holdout=True (>= 4 utts) the grid is tuned on even utterances and
+    `eval_wer` reports the odd ones — an honest generalization check.
+
+    log_probs: (B, T, C) log-softmax posteriors; output_lengths: (B,) valid
+    frames; refs: B reference texts; to_text: token-id list -> final text
+    (e.g. the processing pipeline's decode+postprocess).
+    Returns {K: dict(alpha, beta, dev_wer, eval_wer, oracle_wer)}.
+    Reference semantics for the rule: /root/reference/decoders.py:19-45."""
+    import jax.numpy as jnp
+    from ..metrics.wer import wer as wer_fn
+    from ..ops.beam_device import beam_search_device
+    log_probs = np.asarray(log_probs, np.float32)
+    B = len(log_probs)
+    lengths = np.asarray(output_lengths if output_lengths is not None
+                         else [log_probs.shape[1]] * B, np.int32)
+    lm = load_lm(lm_path)
+    split = holdout and B >= 4
+    dev_idx = list(range(0, B, 2)) if split else list(range(B))
+    eval_idx = list(range(1, B, 2)) if split else list(range(B))
+    out = {}
+    for K in beam_widths:
+        tks, lens, scores = map(np.asarray, beam_search_device(
+            jnp.asarray(log_probs), jnp.asarray(lengths), tokenizer.eps_id,
+            beam_width=K, cutoff_top_n=cutoff_top_n,
+            max_len=max_len or int(log_probs.shape[1]) + 1,
+            compact_tokens=True))
+        utts = []
+        for b in range(B):
+            texts = [to_text(tks[b, k, :lens[b, k]].tolist())
+                     for k in range(K)]
+            lm_s, n_words = lm_word_scores(texts, lm)
+            utts.append(dict(
+                ctc=scores[b, :K].astype(np.float64),
+                lm=np.asarray(lm_s, np.float64),
+                W=np.asarray(n_words, np.float64),
+                wer=np.asarray([wer_fn(hyp=t, ref=refs[b]) for t in texts])))
+
+        def rank_wer(idx, a, bb):
+            return float(np.mean([
+                utts[i]['wer'][int(np.argmax(
+                    utts[i]['ctc'] + a * utts[i]['lm'] + bb * utts[i]['W']))]
+                for i in idx]))
+
+        best = min(((rank_wer(dev_idx, a, bb), a, bb)
+                    for a in alphas for bb in betas), key=lambda t: t[0])
+        out[K] = dict(alpha=best[1], beta=best[2], dev_wer=best[0],
+                      eval_wer=rank_wer(eval_idx, best[1], best[2]),
+                      oracle_wer=float(np.mean(
+                          [u['wer'].min() for u in utts])))
+    return out
 
 
 @shaping.shapecheck

@@ -104,7 +104,16 @@ def setup(args):
 
     text_config = ProcessingPipeline.load_config(ckpt_args.get('text_config', args.text_config))
     pipeline_names = ckpt_args.get('text_pipelines', args.text_pipelines)
-    text_pipeline = ProcessingPipeline.make(text_config, pipeline_names[0])
+    # dual-head checkpoints (e.g. char+BPE, reference models.py:27-35) carry
+    # ALL their heads in the param tree — the model must be built with every
+    # head or the weights don't fit; --pipeline picks which head to decode
+    want = getattr(args, 'pipeline', None) or pipeline_names[0]
+    assert want in pipeline_names, \
+        f'--pipeline {want!r} not in this checkpoint\'s heads {pipeline_names}'
+    head = pipeline_names.index(want)
+    all_pipelines = [ProcessingPipeline.make(text_config, n)
+                     for n in pipeline_names]
+    text_pipeline = all_pipelines[head]
 
     model_name = args.model or ckpt_args.get('model', 'JasperNetBig')
     # pass through architectural hyper-params recorded in the checkpoint args
@@ -116,7 +125,9 @@ def setup(args):
     overrides = {k: v for k, v in ckpt_args.items()
                  if k in model_fields and v is not None}
     model = create_model(model_name, num_input_features=args.num_input_features,
-                         num_classes=(text_pipeline.tokenizer.vocab_size,),
+                         num_classes=tuple(p.tokenizer.vocab_size
+                                           for p in all_pipelines),
+                         decoder_type='bpe' if len(all_pipelines) > 1 else None,
                          frontend=frontend,
                          dtype=jnp.bfloat16 if args.bf16 else jnp.float32, **overrides)
 
@@ -132,7 +143,7 @@ def setup(args):
     @jax.jit
     def _forward(variables, x, xlen):
         out = model.apply(variables, x, xlen=xlen)
-        return out['log_probs'][0], out['logits'][0], out['olen'][0]
+        return out['log_probs'][head], out['logits'][head], out['olen'][head]
 
     variables_dev = jax.device_put(variables)
 
@@ -146,7 +157,7 @@ def setup(args):
     def _forward_q(qtree, x, xlen):
         from ..models.quantized import quantized_apply
         out = quantized_apply(model, qtree, x, xlen=xlen)
-        return out['log_probs'][0], out['logits'][0], out['olen'][0]
+        return out['log_probs'][head], out['logits'][head], out['olen'][head]
 
     def forward(x, xlen):
         if qstate:
@@ -169,14 +180,14 @@ def setup(args):
     @jax.jit
     def _forward_fused(variables, x, xlen):
         out = model.apply(variables, x, xlen=xlen)
-        lp = out['log_probs'][0]
+        lp = out['log_probs'][head]
         return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
                           jnp.max(lp, -1).astype(jnp.float32)], -1)  # (B, T', 2)
 
     @jax.jit
     def _forward_fused_q(qtree, x, xlen):
         from ..models.quantized import quantized_apply
-        lp = quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][0]
+        lp = quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][head]
         return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
                           jnp.max(lp, -1).astype(jnp.float32)], -1)
 
@@ -195,7 +206,7 @@ def setup(args):
     def _forward_fused_i16(variables, x_i16, xlen):
         x = x_i16.astype(jnp.float32) / jnp.float32(32767.0)
         out = model.apply(variables, x, xlen=xlen)
-        lp = out['log_probs'][0]
+        lp = out['log_probs'][head]
         return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
                           jnp.max(lp, -1).astype(jnp.float32)], -1)
 
@@ -203,7 +214,7 @@ def setup(args):
     def _forward_fused_i16_q(qtree, x_i16, xlen):
         from ..models.quantized import quantized_apply
         x = x_i16.astype(jnp.float32) / jnp.float32(32767.0)
-        lp = quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][0]
+        lp = quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][head]
         return jnp.stack([jnp.argmax(lp, -1).astype(jnp.float32),
                           jnp.max(lp, -1).astype(jnp.float32)], -1)
 
@@ -220,7 +231,7 @@ def setup(args):
     # C++ beam + n-gram LM)
     @functools.partial(jax.jit, static_argnums=(3,))
     def _forward_topk(variables, x, xlen, k):
-        lp = model.apply(variables, x, xlen=xlen)['log_probs'][0]
+        lp = model.apply(variables, x, xlen=xlen)['log_probs'][head]
         vals, ids = jax.lax.top_k(lp, k)
         return jnp.stack([vals.astype(jnp.float32),
                           ids.astype(jnp.float32)], -1)
@@ -228,7 +239,7 @@ def setup(args):
     @functools.partial(jax.jit, static_argnums=(3,))
     def _forward_topk_q(qtree, x, xlen, k):
         from ..models.quantized import quantized_apply
-        lp = quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][0]
+        lp = quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][head]
         vals, ids = jax.lax.top_k(lp, k)
         return jnp.stack([vals.astype(jnp.float32),
                           ids.astype(jnp.float32)], -1)
@@ -244,11 +255,11 @@ def setup(args):
     # traces apply_fn INSIDE its single-dispatch tick jit; weights resolved
     # per call so --quantize int8 calibration (which fills qstate) is honored
     def _lp(variables, x, xlen):
-        return model.apply(variables, x, xlen=xlen)['log_probs'][0]
+        return model.apply(variables, x, xlen=xlen)['log_probs'][head]
 
     def _lp_q(qtree, x, xlen):
         from ..models.quantized import quantized_apply
-        return quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][0]
+        return quantized_apply(model, qtree, x, xlen=xlen)['log_probs'][head]
 
     def stream_logprobs():
         if qstate:
@@ -761,6 +772,9 @@ def build_parser():
     parser.add_argument('--dither', type=float, default=0.0)
     parser.add_argument('--text-config', default='configs/ru_text_config.json')
     parser.add_argument('--text-pipelines', nargs='+', default=['char_legacy'])
+    parser.add_argument('--pipeline', help='which checkpoint head/pipeline '
+                        'to decode (dual-head char+BPE checkpoints; '
+                        'default: the first)')
     parser.add_argument('--ref-transcript-path')
     parser.add_argument('--frontend', default=None,
                         choices=['LogFilterBankFrontend', 'Wav2VecFrontend'],

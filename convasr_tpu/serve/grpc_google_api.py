@@ -474,6 +474,9 @@ def build_parser():
     parser.add_argument('--dither', type=float, default=0.0)
     parser.add_argument('--text-config', default='configs/ru_text_config.json')
     parser.add_argument('--text-pipelines', nargs='+', default=['char_legacy'])
+    parser.add_argument('--pipeline', help='which checkpoint head/pipeline '
+                        'to decode (dual-head char+BPE checkpoints; '
+                        'default: the first)')
     parser.add_argument('--replace-blank-series', type=int, default=8)
     parser.add_argument('--decoder', default='GreedyDecoder',
                         choices=['GreedyDecoder', 'BeamSearchDecoder',

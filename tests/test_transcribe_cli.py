@@ -196,3 +196,86 @@ class TestDiarizeFlag:
         assert agree >= len(ref) - 1, (labels, truth)
         names = {t['speaker_name'] for t in segs if t['speaker'] > 0}
         assert names <= {'alice', 'bob'} and names, names
+
+
+class TestDualHeadTranscribe:
+    """Dual-head (char+BPE) checkpoints through the transcribe CLI.
+
+    The reference ships BPE as a production mode with dual char+BPE heads
+    (models.py:27-35, JasperNetBigBpeOnly models.py:1422); a user must be
+    able to point transcribe at such a checkpoint and pick the head with
+    --pipeline. Before the fix, setup() built a single-head model and the
+    dual-head param tree did not fit."""
+
+    @pytest.fixture(scope='class')
+    def dual_checkpoint(self, tmp_path_factory):
+        from convasr_tpu.audio import write_audio
+        from convasr_tpu.frontend.logmel import LogFilterBankFrontend
+        from convasr_tpu.models.zoo import create_model
+        from convasr_tpu.text import train_bpe
+        from convasr_tpu.train.checkpoints import save_checkpoint
+        from convasr_tpu.train.loop import TrainState
+
+        tmp = tmp_path_factory.mktemp('dual_head')
+        sr = 8000
+        bpe_model = str(tmp / 'bpe.json')
+        train_bpe(['привет мир', 'мир привет'], vocab_size=16,
+                  model_path=bpe_model)
+        config = json.load(open(ROOT / 'configs' / 'ru_text_config.json'))
+        config['tokenizers']['bpe'] = dict(model_path=bpe_model,
+                                           **{'class': 'BPETokenizer'})
+        config['pipelines']['bpe'] = dict(
+            tokenizer='bpe', preprocessor='default', postprocessor='default')
+        text_config = str(tmp / 'text_config.json')
+        json.dump(config, open(text_config, 'w'), ensure_ascii=False)
+
+        from convasr_tpu.text import ProcessingPipeline
+        pipes = [ProcessingPipeline.make(config, n)
+                 for n in ('char_legacy', 'bpe')]
+        frontend = LogFilterBankFrontend(out_channels=16, sample_rate=sr,
+                                         window_size=0.02, window_stride=0.01,
+                                         dither=0.0)
+        model = create_model(
+            'JasperNetSmall', num_input_features=16,
+            num_classes=tuple(p.tokenizer.vocab_size for p in pipes),
+            decoder_type='bpe', frontend=frontend, base_width=8)
+        x0 = jnp.zeros((1, sr), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x0,
+                               xlen=jnp.ones((1,), jnp.float32))
+        state = TrainState(step=jnp.zeros([], jnp.int32),
+                           params=variables['params'],
+                           batch_stats=variables.get('batch_stats', {}),
+                           opt_state={})
+        ckpt_path = str(tmp / 'ckpt')
+        save_checkpoint(ckpt_path, state, epoch=0, args=dict(
+            model='JasperNetSmall', sample_rate=sr, window_size=0.02,
+            window_stride=0.01, window='hann_window', num_input_features=16,
+            text_config=text_config, text_pipelines=['char_legacy', 'bpe'],
+            base_width=8))
+        wav_path = str(tmp / 'utt.wav')
+        rng = np.random.RandomState(0)
+        write_audio(wav_path, (0.1 * rng.randn(1, sr)).astype(np.float32), sr)
+        return ckpt_path, wav_path, str(tmp)
+
+    def _run(self, dual_checkpoint, out_name, extra=()):
+        from convasr_tpu.cli.transcribe import build_parser, main
+        ckpt_path, wav_path, tmp = dual_checkpoint
+        out_dir = os.path.join(tmp, out_name)
+        args = build_parser().parse_args(
+            ['--checkpoint', ckpt_path, '-i', wav_path, '-o', out_dir,
+             '--output-json', '--mono', '--bf16', 'false'] + list(extra))
+        main(args)
+        return json.load(open(os.path.join(
+            out_dir, os.path.basename(wav_path) + '.json')))
+
+    def test_default_head_is_first(self, dual_checkpoint):
+        segs = self._run(dual_checkpoint, 'out_char')
+        assert isinstance(segs, list)
+
+    def test_bpe_head_selected(self, dual_checkpoint):
+        segs = self._run(dual_checkpoint, 'out_bpe', ['--pipeline', 'bpe'])
+        assert isinstance(segs, list)
+
+    def test_unknown_pipeline_fails_loudly(self, dual_checkpoint):
+        with pytest.raises(AssertionError, match='nope'):
+            self._run(dual_checkpoint, 'out_bad', ['--pipeline', 'nope'])

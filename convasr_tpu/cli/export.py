@@ -51,13 +51,15 @@ def fuse_conv_bn(params: dict, batch_stats: dict, eps: float = 1e-5):
     return params, batch_stats
 
 
-def export_model(model, variables, example_x, example_xlen, output_path: str):
-    """Serialize the jitted forward to a StableHLO artifact."""
+def export_model(model, variables, example_x, example_xlen, output_path: str,
+                 head: int = 0):
+    """Serialize the jitted forward to a StableHLO artifact. head selects
+    which decoder head a dual-head (char+BPE) model exports."""
     from jax import export as jax_export
 
     def forward(variables, x, xlen):
         out = model.apply(variables, x, xlen=xlen)
-        return out['logits'][0], out['olen'][0]
+        return out['logits'][head], out['olen'][head]
 
     exported = jax_export.export(jax.jit(forward))(variables, example_x, example_xlen)
     blob = exported.serialize()
@@ -68,7 +70,7 @@ def export_model(model, variables, example_x, example_xlen, output_path: str):
 
 def export_quantized(model, variables, batches, example_x, example_xlen,
                      output_path: str, percentile: float = 100.0,
-                     cache_path: str = None):
+                     cache_path: str = None, head: int = 0):
     """Serialize the int8 PTQ graph (models/quantized.py) to a StableHLO
     artifact + a `<output>.qtree.npz` sidecar holding the quantized weights/
     scales. The artifact's first argument is the qtree, so runtimes load the
@@ -82,7 +84,7 @@ def export_quantized(model, variables, batches, example_x, example_xlen,
 
     def forward(qtree, x, xlen):
         out = quantized_apply(model, qtree, x, xlen=xlen)
-        return out['logits'][0], out['olen'][0]
+        return out['logits'][head], out['olen'][head]
 
     exported = jax_export.export(jax.jit(forward))(qtree, example_x, example_xlen)
     with open(output_path, 'wb') as f:
@@ -91,14 +93,16 @@ def export_quantized(model, variables, batches, example_x, example_xlen,
     return output_path, qtree
 
 
-def validate_quantized_export(model, example_x, example_xlen, export_path: str):
+def validate_quantized_export(model, example_x, example_xlen, export_path: str,
+                              head: int = 0):
     """Artifact(qtree sidecar) output must match the live quantized graph."""
     from jax import export as jax_export
     from ..models.quantized import load_qtree, quantized_apply
     with open(export_path, 'rb') as f:
         exported = jax_export.deserialize(bytearray(f.read()))
     qtree = load_qtree(export_path + '.qtree.npz')
-    live = quantized_apply(model, qtree, example_x, xlen=example_xlen)['logits'][0]
+    live = quantized_apply(model, qtree, example_x,
+                           xlen=example_xlen)['logits'][head]
     art, _ = exported.call(qtree, example_x, example_xlen)
     np.testing.assert_allclose(np.asarray(art, np.float32),
                                np.asarray(live, np.float32),
@@ -107,13 +111,14 @@ def validate_quantized_export(model, example_x, example_xlen, export_path: str):
 
 
 def validate_export(model, variables, example_x, example_xlen, export_path: str,
-                    fp16: bool = False):
+                    fp16: bool = False, head: int = 0):
     """Run the serialized artifact and assert logits parity (tolerances:
     train.py:486-495)."""
     from jax import export as jax_export
     with open(export_path, 'rb') as f:
         exported = jax_export.deserialize(bytearray(f.read()))
-    native_logits, _ = model.apply(variables, example_x, xlen=example_xlen)['logits'][0], None
+    native_logits = model.apply(variables, example_x,
+                                xlen=example_xlen)['logits'][head]
     exported_logits, _ = exported.call(variables, example_x, example_xlen)
     rtol, atol = (1e-1, 1e-2) if fp16 else (1e-2, 1e-3)
     np.testing.assert_allclose(np.asarray(exported_logits, np.float32),
@@ -140,11 +145,23 @@ def main(args):
                                      window=ckpt_args.get('window', 'hann_window'),
                                      dither=0.0)
     config = ProcessingPipeline.load_config(ckpt_args.get('text_config', args.text_config))
-    pipeline = ProcessingPipeline.make(config, ckpt_args.get('text_pipelines',
-                                                             ['char_legacy'])[0])
+    pipeline_names = ckpt_args.get('text_pipelines', ['char_legacy'])
+    # dual-head checkpoints export the head picked by --pipeline (the model
+    # must still be built with EVERY head so the weights fit, cli/transcribe
+    # setup convention)
+    want = getattr(args, 'pipeline', None) or pipeline_names[0]
+    assert want in pipeline_names, \
+        f'--pipeline {want!r} not in this checkpoint\'s heads {pipeline_names}'
+    head = pipeline_names.index(want)
+    pipelines = [ProcessingPipeline.make(config, n) for n in pipeline_names]
+    pipeline = pipelines[head]
+    overrides = ({'base_width': ckpt_args['base_width']}
+                 if ckpt_args.get('base_width') else {})
     model = create_model(ckpt_args.get('model', args.model), num_input_features=num_features,
-                         num_classes=(pipeline.tokenizer.vocab_size,), frontend=frontend,
-                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+                         num_classes=tuple(p.tokenizer.vocab_size for p in pipelines),
+                         decoder_type='bpe' if len(pipelines) > 1 else None,
+                         frontend=frontend,
+                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32, **overrides)
     variables = {'params': payload['params'], 'batch_stats': payload.get('batch_stats', {})}
     if args.fuse_bn:
         fused_params, fused_stats = fuse_conv_bn(variables['params'],
@@ -172,18 +189,19 @@ def main(args):
             assert args.calibration_cache and os.path.exists(args.calibration_cache), \
                 '--quantize int8 needs --calibration-data or an existing --calibration-cache'
         path, _ = export_quantized(model, variables, batches, x, xlen,
-                                   args.output_path,
+                                   args.output_path, head=head,
                                    percentile=args.calibration_percentile,
                                    cache_path=args.calibration_cache)
         print('exported int8 artifact to', path, '+ sidecar', path + '.qtree.npz')
         if args.validate:
-            validate_quantized_export(model, x, xlen, path)
+            validate_quantized_export(model, x, xlen, path, head=head)
             print('parity check passed')
         return
-    path = export_model(model, variables, x, xlen, args.output_path)
+    path = export_model(model, variables, x, xlen, args.output_path, head=head)
     print('exported to', path)
     if args.validate:
-        validate_export(model, variables, x, xlen, path, fp16=args.bf16)
+        validate_export(model, variables, x, xlen, path, fp16=args.bf16,
+                        head=head)
         print('parity check passed')
 
 
@@ -198,6 +216,8 @@ def build_parser():
     parser.add_argument('--sample-rate', type=int, default=8000)
     parser.add_argument('--num-input-features', type=int, default=64)
     parser.add_argument('--text-config', default='configs/ru_text_config.json')
+    parser.add_argument('--pipeline', help='which checkpoint head to export '
+                        '(dual-head char+BPE checkpoints; default: the first)')
     parser.add_argument('-B', type=int, default=1)
     parser.add_argument('-T', type=float, default=6.0)
     parser.add_argument('--bf16', default=False,

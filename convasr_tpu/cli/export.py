@@ -155,8 +155,8 @@ def main(args):
     head = pipeline_names.index(want)
     pipelines = [ProcessingPipeline.make(config, n) for n in pipeline_names]
     pipeline = pipelines[head]
-    overrides = ({'base_width': ckpt_args['base_width']}
-                 if ckpt_args.get('base_width') else {})
+    from ..cli.transcribe import ckpt_model_overrides
+    overrides = ckpt_model_overrides(ckpt_args)
     model = create_model(ckpt_args.get('model', args.model), num_input_features=num_features,
                          num_classes=tuple(p.tokenizer.vocab_size for p in pipelines),
                          decoder_type='bpe' if len(pipelines) > 1 else None,

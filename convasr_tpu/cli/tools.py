@@ -407,29 +407,28 @@ def find_solution_for_frontend_input_output_shapes_divisibility(
 
 
 def lmtune(input_path, lm, beam_widths, alphas, betas, text_config, pipeline,
-           head, cutoff_top_n, max_len, output_path, device):
+           cutoff_top_n, max_len, output_path, device):
     """Dev-tune the hybrid decoder's (alpha, beta) rescoring weights PER
     BEAM WIDTH (decode/beam.tune_rescore_weights; the r5 root cause of
     beam-width non-monotonicity — the word bonus beta must rise with K).
 
     Operator workflow:
       1. transcribe the DEV manifest with `--logits` (dense dumps; the
-         `--logits-topk` sparse format is not accepted here) — one .npz per
-         utterance with the raw logits and the reference text,
+         `--logits-topk` sparse format is not accepted here) — one
+         single-segment .npz per utterance with the logits of the head you
+         will deploy (`--pipeline` at transcribe time) and the reference,
       2. `tools.py lmtune -i dev_out/ --lm word.binlm --beam-widths 16 32 64`
-      3. decode production with the printed `--beam-alpha/--beam-beta` for
-         the beam width you deploy.
+         with the SAME --pipeline,
+      3. decode production with the printed flags for the beam width you
+         deploy.
     """
     import glob
 
     import numpy as np
 
-    import jax
-    if device:
-        try:
-            jax.config.update('jax_platforms', device)
-        except Exception:
-            pass  # backend already initialized (e.g. under pytest)
+    from ..infra.utils import enable_compilation_cache, select_device
+    select_device(device)
+    enable_compilation_cache()
 
     from ..decode.beam import tune_rescore_weights
     from ..text import ProcessingPipeline
@@ -440,11 +439,15 @@ def lmtune(input_path, lm, beam_widths, alphas, betas, text_config, pipeline,
     lps, refs = [], []
     for f in files:
         d = np.load(f, allow_pickle=True)
-        key = f'logits_{head}'
-        assert key in d, (
-            f'{f} has no dense {key!r} — dump the dev set with '
-            '`transcribe --logits` (without --logits-topk)')
-        x = d[key]
+        keys = sorted(k for k in d.files if k.startswith('logits_')
+                      and k[len('logits_'):].isdigit())
+        assert keys == ['logits_0'], (
+            f'{f}: expected exactly one dense logits_0 array, found {keys} — '
+            'dump the dev set with `transcribe --logits` (no --logits-topk), '
+            'one SINGLE-SEGMENT utterance per manifest entry (multi-segment '
+            'dumps pair per-segment logits with the whole-file reference, '
+            'which would tune against the wrong transcript)')
+        x = d['logits_0']
         if x.dtype.kind == 'V' and x.dtype.itemsize == 2:
             # np.savez stores bf16 (ml_dtypes) as a 2-byte void dtype
             import ml_dtypes
@@ -452,7 +455,12 @@ def lmtune(input_path, lm, beam_widths, alphas, betas, text_config, pipeline,
         x = np.asarray(x, np.float32)
         m = x.max(-1, keepdims=True)
         lps.append(x - m - np.log(np.exp(x - m).sum(-1, keepdims=True)))
-        refs.append(str(d['ref']))
+        ref = str(d['ref']).strip()
+        assert ref, (
+            f'{f}: empty reference — transcribe the dev set from a MANIFEST '
+            'with refs (a plain audio dir dumps ref=""); tuning against '
+            'empty refs would reward maximum deletions')
+        refs.append(ref)
     T = max(lp.shape[0] for lp in lps)
     lp_pad = np.full((len(lps), T, lps[0].shape[-1]), -30.0, np.float32)
     olen = np.zeros(len(lps), np.int32)
@@ -462,6 +470,11 @@ def lmtune(input_path, lm, beam_widths, alphas, betas, text_config, pipeline,
 
     pipe = ProcessingPipeline.make(
         ProcessingPipeline.load_config(text_config), pipeline)
+    assert lp_pad.shape[-1] == pipe.tokenizer.vocab_size, (
+        f'dumps have {lp_pad.shape[-1]} classes but pipeline {pipeline!r} '
+        f'has vocab {pipe.tokenizer.vocab_size} — pass the --pipeline the '
+        'dumps were transcribed with (a mismatched blank id would silently '
+        'produce garbage tuning)')
     results = tune_rescore_weights(
         lp_pad, olen, refs, pipe.tokenizer,
         lambda toks: pipe.postprocess(pipe.decode([toks])[0]),
@@ -473,9 +486,13 @@ def lmtune(input_path, lm, beam_widths, alphas, betas, text_config, pipeline,
         ab = f'({r["alpha"]}, {r["beta"]})'
         print(f'{"":9s} {K:4d} {ab:>14s} '
               f'{r["dev_wer"]:7.4f} {r["eval_wer"]:8.4f} {r["oracle_wer"]:7.4f}')
+    # the deploy line must reproduce the TUNED beam configuration exactly
+    extra = '' if cutoff_top_n == 8 else f' --beam-cutoff-top-n {cutoff_top_n}'
+    extra += f' --beam-max-len {max_len}' if max_len else ''
     for K, r in results.items():
         print(f'K={K}: --decoder BeamSearchDecoderDeviceLM --beam-width {K} '
-              f'--lm {lm} --beam-alpha {r["alpha"]} --beam-beta {r["beta"]}')
+              f'--lm {lm} --beam-alpha {r["alpha"]} --beam-beta {r["beta"]}'
+              f'{extra}')
     if output_path:
         with open(output_path, 'w') as f:
             json.dump({str(k): v for k, v in results.items()}, f, indent=2)
@@ -500,8 +517,8 @@ def build_parser():
     c.add_argument('--betas', type=float, nargs='+',
                    default=[0.0, 0.25, 0.5, 1.0, 1.5, 2.0, 3.0])
     c.add_argument('--text-config', default='configs/ru_text_config.json')
-    c.add_argument('--pipeline', default='char_legacy')
-    c.add_argument('--head', type=int, default=0)
+    c.add_argument('--pipeline', default='char_legacy',
+                   help='the pipeline the dumps were transcribed with')
     c.add_argument('--cutoff-top-n', type=int, default=8)
     c.add_argument('--max-len', type=int)
     c.add_argument('--output-path', '-o')

@@ -78,6 +78,18 @@ def _make_dp_wrapper(mesh):
     return wrap
 
 
+def ckpt_model_overrides(ckpt_args: dict) -> dict:
+    """Architectural hyper-params recorded in the checkpoint args (base_width,
+    repeat, kernel sizes, ...) to pass back to create_model so the weights
+    always fit the module tree. Shared by transcribe/serve/export."""
+    from ..models.jasper import JasperNet
+    model_fields = {f.name for f in JasperNet.__dataclass_fields__.values()} \
+        - {'num_input_features', 'num_classes', 'frontend', 'dtype', 'bn_axis_name',
+           'decoder_type', 'spec_augment'}  # spec_augment in args is the bool flag
+    return {k: v for k, v in ckpt_args.items()
+            if k in model_fields and v is not None}
+
+
 def setup(args):
     payload, ckpt_args = load_any_checkpoint(args.checkpoint)
     for key in ['sample_rate', 'window_size', 'window_stride', 'window', 'num_input_features']:
@@ -116,14 +128,7 @@ def setup(args):
     text_pipeline = all_pipelines[head]
 
     model_name = args.model or ckpt_args.get('model', 'JasperNetBig')
-    # pass through architectural hyper-params recorded in the checkpoint args
-    # (base_width etc.) so the weights always fit the module tree
-    from ..models.jasper import JasperNet
-    model_fields = {f.name for f in JasperNet.__dataclass_fields__.values()} \
-        - {'num_input_features', 'num_classes', 'frontend', 'dtype', 'bn_axis_name',
-           'decoder_type', 'spec_augment'}  # spec_augment in args is the bool flag
-    overrides = {k: v for k, v in ckpt_args.items()
-                 if k in model_fields and v is not None}
+    overrides = ckpt_model_overrides(ckpt_args)
     model = create_model(model_name, num_input_features=args.num_input_features,
                          num_classes=tuple(p.tokenizer.vocab_size
                                            for p in all_pipelines),

@@ -266,7 +266,10 @@ def tune_rescore_weights(log_probs, output_lengths, refs, tokenizer, to_text,
 
     log_probs: (B, T, C) log-softmax posteriors; output_lengths: (B,) valid
     frames; refs: B reference texts; to_text: token-id list -> final text
-    (e.g. the processing pipeline's decode+postprocess).
+    (e.g. the processing pipeline's decode+postprocess) — used for WER ONLY.
+    The lm/W ranking features are computed on the raw lowercased label join,
+    EXACTLY as the deployed rescore_with_lm does (beam.py:219), so the tuned
+    (alpha, beta) rank the same candidate set production will rank.
     Returns {K: dict(alpha, beta, dev_wer, eval_wer, oracle_wer)}.
     Reference semantics for the rule: /root/reference/decoders.py:19-45."""
     import jax.numpy as jnp
@@ -277,6 +280,7 @@ def tune_rescore_weights(log_probs, output_lengths, refs, tokenizer, to_text,
     lengths = np.asarray(output_lengths if output_lengths is not None
                          else [log_probs.shape[1]] * B, np.int32)
     lm = load_lm(lm_path)
+    labels = [str(l).lower() for l in tokenizer.vocab]
     split = holdout and B >= 4
     dev_idx = list(range(0, B, 2)) if split else list(range(B))
     eval_idx = list(range(1, B, 2)) if split else list(range(B))
@@ -289,14 +293,15 @@ def tune_rescore_weights(log_probs, output_lengths, refs, tokenizer, to_text,
             compact_tokens=True))
         utts = []
         for b in range(B):
-            texts = [to_text(tks[b, k, :lens[b, k]].tolist())
-                     for k in range(K)]
-            lm_s, n_words = lm_word_scores(texts, lm)
+            toks = [tks[b, k, :lens[b, k]].tolist() for k in range(K)]
+            raw = [''.join(labels[t] for t in ts) for ts in toks]
+            lm_s, n_words = lm_word_scores(raw, lm)
             utts.append(dict(
                 ctc=scores[b, :K].astype(np.float64),
                 lm=np.asarray(lm_s, np.float64),
                 W=np.asarray(n_words, np.float64),
-                wer=np.asarray([wer_fn(hyp=t, ref=refs[b]) for t in texts])))
+                wer=np.asarray([wer_fn(hyp=to_text(ts), ref=refs[b])
+                                for ts in toks])))
 
         def rank_wer(idx, a, bb):
             return float(np.mean([
